@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+All queries read the driver-generated tables at the given sf dir; the
+corpus-shaped queries map ``documents`` through the deterministic
+pure-expression adapter in cleanvision_spark.sources.corpus (mirrored
+by the ``corpus`` CTE in the oracle SQL). Floats are rounded to 6
+decimals on BOTH sides so value-hashes match.
 """
 
 from __future__ import annotations
@@ -13,26 +17,88 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# DuckDB mirror of cleanvision_spark.sources.corpus.corpus_from_documents
+CORPUS_CTE = """
+corpus AS (
+  SELECT
+    'org' || CAST(doc_id % 13 AS VARCHAR) || '/repo' || CAST(doc_id % 101 AS VARCHAR) AS repo,
+    'src/file_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40) AS commit,
+    lang,
+    text AS content
+  FROM documents
+)
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact-duplicate scoring over the sf0.001 corpus."""
+    return _q_exact_duplicates(spark, SF_SMOKE)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.sources.corpus import corpus_from_documents
+
+    return corpus_from_documents(spark, sf_dir)
+
+
+def _q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.duplicates import exact_duplicate_scores
+
+    df = exact_duplicate_scores(_corpus(spark, sf_dir))
+    return df.select(
+        "repo",
+        "path",
+        "commit",
+        F.round("exact_duplicates_score", 6).alias("exact_duplicates_score"),
+        F.col("is_exact_duplicates_issue"),
+    )
+
+
+def _q_exact_duplicate_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.duplicates import exact_duplicate_sets
+
+    sets = exact_duplicate_sets(_corpus(spark, sf_dir))
+    # scalar columns only (min member + size) so value-hashing is robust
+    return sets.select(
+        "sha256",
+        F.element_at("members", 1).alias("first_member"),
+        F.col("n_members"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_duplicates": _q_exact_duplicates,
+        "exact_duplicate_sets": _q_exact_duplicate_sets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_duplicates": f"""
+            WITH {CORPUS_CTE}
+            SELECT repo, path, commit,
+                   round(1.0::DOUBLE / cnt, 6) AS exact_duplicates_score,
+                   cnt > 1 AS is_exact_duplicates_issue
+            FROM (
+              SELECT *, count(*) OVER (PARTITION BY sha256(content)) AS cnt
+              FROM corpus
+            )
+        """,
+        "exact_duplicate_sets": f"""
+            WITH {CORPUS_CTE}
+            SELECT sha256(content) AS sha256,
+                   min(repo || '||' || path || '||' || commit) AS first_member,
+                   count(*) AS n_members
+            FROM corpus
+            GROUP BY 1
+            HAVING count(*) >= 2
+        """,
+    }

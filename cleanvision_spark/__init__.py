@@ -1,0 +1,23 @@
+"""cleanvision_spark — a from-scratch PySpark-native code-quality-filter engine.
+
+Transplants the per-sample issue-scoring paradigm of cleanlab/cleanvision
+(reference: /root/reference, v0.3.8) from images to source-code files:
+score each row per issue type (0-1, lower = worse), threshold, flag,
+report — expressed as one declarative Spark DataFrame plan (Catalyst
+expressions for every cheap signal, Arrow-batched pandas UDFs only for
+the language-ID and n-gram-LM scorers), over a corpus table
+``(repo, path, commit, lang, content)``.
+
+Nothing here is a port of the reference implementation: the reference is
+eager row-at-a-time pandas + multiprocessing; this engine is a lazy
+Catalyst plan designed for 10^12-row scale (partition pruning, map-side
+partial aggregation, broadcast global stats, salted skew handling, AQE).
+"""
+
+from cleanvision_spark.codelab import CodeLab
+from cleanvision_spark.config import DEFAULT_ISSUE_TYPES, merge_params
+from cleanvision_spark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["CodeLab", "DEFAULT_ISSUE_TYPES", "merge_params", "get_spark"]

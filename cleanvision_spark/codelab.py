@@ -1,0 +1,29 @@
+"""CodeLab — the Imagelab-equivalent facade (stub; grows with the pipeline).
+
+Reference surface: /root/reference/src/cleanvision/imagelab.py
+(find_issues :202-300, report :376-471, save/load :667-703).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from cleanvision_spark.config import merge_params
+
+
+class CodeLab:
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.issues: DataFrame | None = None
+        self.issue_summary: DataFrame | None = None
+        self.info: dict = {}
+
+    def find_issues(self, issue_types: dict | None = None) -> "CodeLab":
+        from cleanvision_spark.plans.pipeline import run_pipeline
+
+        params = merge_params(issue_types)
+        which = list(issue_types) if issue_types else None
+        self.issues, self.issue_summary, self.info = run_pipeline(
+            self.df, params, which
+        )
+        return self

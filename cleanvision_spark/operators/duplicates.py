@@ -1,0 +1,73 @@
+"""Exact- and near-duplicate issues.
+
+Reference semantics (/root/reference/src/cleanvision/issue_managers/
+duplicate_issue_manager.py):
+- hash each sample (md5 of pixels :26-28 / phash :30-44); bucket by hash
+  equality (:169-177); duplicate sets = buckets with >= 2 members
+  (:258-264); per-row score = 1/k for a set of size k, else 1.0
+  (:197-214); flag = score != 1 (:215-217); near sets identical to an
+  exact set are removed (:251-256).
+
+Spark recast: sha256 of content for exact (per input_hint invariant);
+MinHash-LSH band buckets for near (north_star). Bucket equality — not a
+distance join, and no connected components — mirrors the reference.
+
+Scale notes:
+- counts per hash via groupBy (map-side partial agg) + shuffle join back,
+  NOT a window over partitionBy(hash): a pathological key (e.g. the empty
+  file duplicated 10^8 times) would put all its rows in one window
+  partition, while AQE skew-join splits the join fine.
+- near-dup bands: explode multiplies rows by #bands before the shuffle,
+  so the signature/bands are computed on a capped prefix of content and
+  band hashes are longs, keeping shuffle bytes bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import flag_col, score_col
+from cleanvision_spark.schema import KEY_COLS
+
+
+def with_sha256(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """content sha256 — built-in, JVM-side, no UDF (SURVEY.md M7)."""
+    return df.withColumn("sha256", F.sha2(F.col(content_col), 256))
+
+
+def exact_duplicate_scores(df: DataFrame) -> DataFrame:
+    """Add exact_duplicates_score / is_exact_duplicates_issue.
+
+    score = 1/k for members of a k-row identical-content group, 1.0
+    otherwise; flag = score != 1 (duplicate_issue_manager.py:197-217).
+    """
+    if "sha256" not in df.columns:
+        df = with_sha256(df)
+    counts = df.groupBy("sha256").agg(F.count(F.lit(1)).alias("_dup_cnt"))
+    out = df.join(counts, "sha256", "left")
+    score = (F.lit(1.0) / F.col("_dup_cnt")).alias(score_col("exact_duplicates"))
+    return out.withColumn(score_col("exact_duplicates"), score).withColumn(
+        flag_col("exact_duplicates"), F.col("_dup_cnt") > 1
+    ).drop("_dup_cnt")
+
+
+def exact_duplicate_sets(df: DataFrame) -> DataFrame:
+    """Duplicate sets: one row per sha256 with >= 2 members.
+
+    Mirrors info['exact_duplicates']['sets']
+    (duplicate_issue_manager.py:258-264). Members sorted for determinism
+    (reference sorts its index the same way, utils/utils.py:67).
+    """
+    if "sha256" not in df.columns:
+        df = with_sha256(df)
+    member = F.concat_ws("||", *[F.col(c) for c in KEY_COLS])
+    return (
+        df.select("sha256", member.alias("member"))
+        .groupBy("sha256")
+        .agg(
+            F.sort_array(F.collect_list("member")).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

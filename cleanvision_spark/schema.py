@@ -1,0 +1,23 @@
+"""Canonical corpus schema per BASELINE.json input_hint.
+
+The input abstraction replaces the reference's ``Dataset`` index
+(/root/reference/src/cleanvision/dataset/base_dataset.py:9-29): row
+identity is the key triple (repo, path, commit) — no positional index,
+so results are set-semantic and parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+KEY_COLS = ["repo", "path", "commit"]
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)

@@ -1,0 +1,3 @@
+from cleanvision_spark.sources.corpus import corpus_from_documents, read_corpus
+
+__all__ = ["corpus_from_documents", "read_corpus"]

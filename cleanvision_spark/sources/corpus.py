@@ -1,0 +1,89 @@
+"""Corpus sources.
+
+Replaces the reference's four dataset adapters
+(/root/reference/src/cleanvision/dataset/*.py, dispatched by
+dataset/utils.py:15-39) with tabular sources: in production an Iceberg
+table pruned by ``lang``/repo prefix; locally lang-partitioned parquet;
+plus a deterministic adapter over the driver-generated ``documents``
+table so bench/oracle runs share one input.
+
+Scale notes (10^12 rows):
+- ``read_corpus`` expresses only projections/filters, so Catalyst pushes
+  predicates + column pruning into the scan (PushedFilters/ReadSchema).
+- No per-row Python file I/O: content is inline in the table — the
+  reference's per-sample ``fs.open`` (fsspec_dataset.py:55-59) is the
+  single biggest non-scalable piece and is deliberately absent.
+- ``salt_skewed_repos`` spreads mega-repo partitions before repo-keyed
+  shuffles (reference has no analog; required by north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ICEBERG_HINT = (
+    "On a cluster: spark.read.table('catalog.db.code_files') with Iceberg "
+    "runtime jars (org.apache.iceberg:iceberg-spark-runtime-4.0); filters on "
+    "the lang / repo-prefix partition columns prune at the manifest level. "
+    "The local sandbox has no Iceberg jars, so tests read parquet."
+)
+
+
+def read_corpus(
+    spark: SparkSession,
+    path_or_table: str,
+    langs: list[str] | None = None,
+    repo_prefix: str | None = None,
+) -> DataFrame:
+    """Read the corpus table, pushing partition-pruning filters down.
+
+    ``path_or_table`` is a parquet directory locally or an Iceberg table
+    name (contains no '/') on a cluster.
+    """
+    if "/" in path_or_table:
+        df = spark.read.parquet(path_or_table)
+    else:  # pragma: no cover - needs Iceberg catalog
+        df = spark.read.table(path_or_table)
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+    if repo_prefix:
+        df = df.filter(F.col("repo").startswith(repo_prefix))
+    return df
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the corpus shape.
+
+    Deterministic pure-expression mapping (no UDF, no randomness):
+    doc_id → (repo, path, commit); text → content. Used by bench.py and
+    ``__spark_entry__`` so every run reads the same driver-generated input.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(
+            F.lit("org"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("/repo"),
+            (F.col("doc_id") % 101).cast("string"),
+        ).alias("repo"),
+        F.concat(F.lit("src/file_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def salt_skewed_repos(
+    df: DataFrame, hot_repos: list[str], buckets: int = 32
+) -> DataFrame:
+    """Add a ``repo_salt`` column that splits listed mega-repos into
+    ``buckets`` deterministic sub-keys (hash of path, not random — results
+    stay parallelism-invariant). Group by (repo, repo_salt) first, then
+    re-aggregate by repo: two small shuffles instead of one skewed one.
+    """
+    is_hot = F.col("repo").isin(hot_repos)
+    salt = F.when(is_hot, F.pmod(F.xxhash64("path"), F.lit(buckets))).otherwise(F.lit(0))
+    return df.withColumn("repo_salt", salt.cast("int"))

@@ -1,0 +1,48 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison so oracle
+mismatches surface in pytest before the per-round driver check."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).df()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
+    got = canon(spark_df.toPandas())
+    want = canon(run_oracle(sql, sf_dir))
+    assert list(got.columns) == list(want.columns), (
+        f"columns differ: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row counts differ: {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-9)

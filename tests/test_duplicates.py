@@ -1,0 +1,43 @@
+"""Exact-duplicate operator tests.
+
+Mirrors the reference's duplicate-manager tests: 1/k scores on synthetic
+sets and score 1.0 for non-dups
+(/root/reference/tests/test_duplicate_issue_manager.py:210-237).
+"""
+
+from __future__ import annotations
+
+from cleanvision_spark.operators.duplicates import (
+    exact_duplicate_scores,
+    exact_duplicate_sets,
+)
+from cleanvision_spark.schema import CORPUS_SCHEMA
+
+ROWS = [
+    ("o/a", "x.py", "c1", "python", "print(1)\n"),
+    ("o/b", "y.py", "c2", "python", "print(1)\n"),  # exact dup of row 1
+    ("o/c", "z.py", "c3", "python", "print(2)\n"),
+    ("o/d", "w.py", "c4", "python", "same3\n"),
+    ("o/e", "v.py", "c5", "python", "same3\n"),
+    ("o/f", "u.py", "c6", "python", "same3\n"),
+]
+
+
+def test_exact_duplicate_scores(spark):
+    df = spark.createDataFrame(ROWS, CORPUS_SCHEMA)
+    out = exact_duplicate_scores(df)
+    rows = {r["path"]: r for r in out.collect()}
+    assert rows["x.py"]["exact_duplicates_score"] == 0.5
+    assert rows["y.py"]["is_exact_duplicates_issue"] is True
+    assert rows["z.py"]["exact_duplicates_score"] == 1.0
+    assert rows["z.py"]["is_exact_duplicates_issue"] is False
+    assert abs(rows["w.py"]["exact_duplicates_score"] - 1 / 3) < 1e-12
+
+
+def test_exact_duplicate_sets(spark):
+    df = spark.createDataFrame(ROWS, CORPUS_SCHEMA)
+    sets = exact_duplicate_sets(df).collect()
+    assert len(sets) == 2
+    by_n = {r["n_members"]: r for r in sets}
+    assert sorted(by_n) == [2, 3]
+    assert by_n[2]["members"] == ["o/a||x.py||c1", "o/b||y.py||c2"]

@@ -1,0 +1,30 @@
+"""Run every __spark_entry__ query against its DuckDB oracle at sf0.001 —
+a local replica of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_util import assert_matches_oracle
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLES = entrymod.oracle_sql()
+QUERY_KEYS = sorted(entrymod.queries().keys())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("key", QUERY_KEYS)
+def test_query_vs_oracle(spark, key):
+    fn = entrymod.queries()[key]
+    df = fn(spark, SF_DIR)
+    if key not in ORACLES:
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    assert_matches_oracle(df, ORACLES[key], SF_DIR)
