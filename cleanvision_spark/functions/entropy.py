@@ -1,0 +1,38 @@
+"""Character-distribution Shannon entropy — the 'low_information' signal.
+
+Recast of the reference's PIL histogram entropy
+(/root/reference/src/cleanvision/issue_managers/image_property.py:199-233):
+entropy of the character distribution of content (bits, code points),
+score = clip(normalizing_factor * entropy, 0, 1), lower = less
+information.
+
+Implemented as an Arrow-batched pandas UDF (numpy bincount over code
+points) — the per-row histogram is not expressible as a Catalyst
+expression without an explode-per-char shuffle, which would be absurd
+at 10^12 rows. The UDF is O(len) per row on a capped prefix, no state,
+perfectly partition-parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cleanvision_spark.config import MAX_SCORED_CHARS
+
+
+def char_entropy(s: str | None) -> float:
+    """Shannon entropy (bits) of the code-point distribution of ``s``."""
+    if not s:
+        return 0.0
+    arr = np.frombuffer(s[:MAX_SCORED_CHARS].encode("utf-32-le"), dtype=np.uint32)
+    _, counts = np.unique(arr, return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+@F.pandas_udf(T.DoubleType())
+def char_entropy_udf(s: pd.Series) -> pd.Series:
+    return s.map(char_entropy)

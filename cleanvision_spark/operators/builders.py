@@ -1,0 +1,53 @@
+"""Registered issue builders: name -> (df, params) -> df with score+flag.
+
+One module so registration import order is deterministic. Each builder
+assumes with_properties() ran upstream (pipeline guarantees it).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from cleanvision_spark.config import flag_col, score_col
+from cleanvision_spark.operators import issues as I
+from cleanvision_spark.operators.duplicates import exact_duplicate_scores
+from cleanvision_spark.registry import register_issue
+
+
+@register_issue("odd_aspect_ratio", kind="row")
+def build_odd_aspect_ratio(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    return df.withColumn(
+        score_col("odd_aspect_ratio"), I.odd_aspect_ratio_score(params)
+    ).withColumn(
+        flag_col("odd_aspect_ratio"),
+        I.threshold_flag("odd_aspect_ratio", float(params["threshold"])),
+    )
+
+
+@register_issue("low_information", kind="row")
+def build_low_information(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    return df.withColumn(
+        score_col("low_information"), I.low_information_score(params)
+    ).withColumn(
+        flag_col("low_information"),
+        I.threshold_flag("low_information", float(params["threshold"])),
+    )
+
+
+@register_issue("blurry", kind="row")
+def build_blurry(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    return df.withColumn(score_col("blurry"), I.blurry_score(params)).withColumn(
+        flag_col("blurry"), I.threshold_flag("blurry", float(params["threshold"]))
+    )
+
+
+@register_issue("odd_size", kind="global")
+def build_odd_size(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    return I.with_odd_size(df, params)
+
+
+@register_issue("exact_duplicates", kind="group")
+def build_exact_duplicates(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    return exact_duplicate_scores(df)

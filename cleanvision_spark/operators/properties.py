@@ -1,0 +1,43 @@
+"""Single-pass raw-property computation.
+
+The reference computes all image properties in one pass per sample "to
+save time on loading image" (image_property_issue_manager.py:45-46) and
+skips already-computed ones via the defer set (:93-108). Here that
+becomes: one projection of Catalyst expressions (cheap stats) plus, when
+requested, the Arrow-batched UDF properties (entropy now; perplexity
+percentiles + langid in functions/) — all added with a single
+``withColumns`` so Catalyst plans one stage over one scan, and columns
+already present are never recomputed (the defer-set idea, structurally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.functions.entropy import char_entropy_udf
+from cleanvision_spark.functions.text_stats import cheap_property_columns
+
+CHEAP_PROPS = [
+    "n_chars",
+    "n_lines",
+    "max_line_len",
+    "avg_line_len",
+    "n_tokens",
+    "distinct_token_ratio",
+    "has_autogen_marker",
+]
+
+
+def with_properties(
+    df: DataFrame, content_col: str = "content", entropy: bool = True
+) -> DataFrame:
+    """Add every missing raw-property column in one projection."""
+    cols = {
+        name: col
+        for name, col in cheap_property_columns(content_col).items()
+        if name not in df.columns
+    }
+    if entropy and "entropy" not in df.columns:
+        cols["entropy"] = char_entropy_udf(F.col(content_col))
+    return df.withColumns(cols) if cols else df

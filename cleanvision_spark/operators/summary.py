@@ -1,0 +1,64 @@
+"""Issue summary, prevalence filter, top-k severe — the report-side ops.
+
+Reference: summary counts (base_issue_manager.py:62-64, assembled
+image_property_issue_manager.py:266-275), sort by prevalence desc
+(imagelab.py:292-295), prevalence filter (imagelab.py:345-361), top-k
+most-severe exemplars (imagelab.py:498-506).
+
+Scale notes: the summary is ONE aggregation pass over all flag columns
+(map-side partial agg, no per-issue job); top-k uses orderBy+limit which
+Spark executes as TakeOrderedAndProject (per-partition heaps, no global
+sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import flag_col, score_col
+
+
+def issue_summary(df: DataFrame, issues: list[str]) -> DataFrame:
+    """One row per issue type: (issue_type, num_files), prevalence desc.
+
+    Single agg computes every flag sum; stack() unpivots the 1-row wide
+    result — no second scan.
+    """
+    aggs = [
+        F.sum(F.col(flag_col(i)).cast("long")).alias(i)
+        for i in issues
+        if flag_col(i) in df.columns
+    ]
+    wide = df.agg(*aggs)
+    names = [f.name for f in wide.schema.fields]
+    stack_expr = "stack({n}, {pairs}) as (issue_type, num_files)".format(
+        n=len(names), pairs=", ".join(f"'{n}', `{n}`" for n in names)
+    )
+    return wide.selectExpr(stack_expr).orderBy(
+        F.desc("num_files"), F.asc("issue_type")
+    )
+
+
+def prevalence_filter(
+    summary: DataFrame, total_rows: int, max_prevalence: float = 0.5
+) -> DataFrame:
+    """Drop issue types flagged in >= max_prevalence of the dataset
+    (imagelab.py:345-361)."""
+    return summary.filter(
+        F.col("num_files").cast("double") / F.lit(float(total_rows)) < max_prevalence
+    )
+
+
+def top_k_severe(df: DataFrame, issue: str, k: int = 4, key_cols: list[str] | None = None) -> DataFrame:
+    """k most-severe flagged rows for one issue (imagelab.py:498-506).
+
+    Deterministic: ties broken by key columns so results are
+    partitioning-invariant.
+    """
+    keys = key_cols or ["repo", "path", "commit"]
+    return (
+        df.filter(F.col(flag_col(issue)))
+        .orderBy(F.asc(score_col(issue)), *[F.asc(c) for c in keys])
+        .limit(k)
+    )

@@ -1,0 +1,55 @@
+"""Pipeline assembly: properties → row issues → global issues → group issues.
+
+This is the Spark trace of the reference's find_issues lifecycle
+(/root/reference/src/cleanvision/imagelab.py:202-300): resolve the work
+list, compute shared raw properties once (defer-set P8 done structurally
+— one projection), then layer per-issue score/flag columns, ending with
+the shuffling stages (global stats broadcast, duplicate grouping).
+
+The whole thing is ONE lazy Catalyst plan until the caller acts:
+row-issue expressions fuse into a single WholeStageCodegen over the
+scan; odd_size adds one tiny agg + broadcast; duplicates add one
+groupBy+join shuffle keyed on sha256.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from cleanvision_spark.operators.properties import with_properties
+from cleanvision_spark.registry import issue_builders
+
+KIND_ORDER = {"row": 0, "global": 1, "group": 2}
+
+
+def attach_issues(
+    df: DataFrame,
+    params: dict[str, dict[str, Any]],
+    which: list[str] | None = None,
+) -> DataFrame:
+    """Add score/flag columns for every requested (implemented) issue."""
+    builders = issue_builders()
+    names = [n for n in (which or list(builders)) if n in builders]
+    needs_entropy = "low_information" in names
+    df = with_properties(df, entropy=needs_entropy)
+    for name in sorted(names, key=lambda n: (KIND_ORDER[builders[n][0]], n)):
+        _, fn = builders[name]
+        df = fn(df, params.get(name, {}))
+    return df
+
+
+def run_pipeline(
+    df: DataFrame,
+    params: dict[str, dict[str, Any]],
+    which: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    from cleanvision_spark.operators.summary import issue_summary
+
+    builders = issue_builders()
+    names = [n for n in (which or list(builders)) if n in builders]
+    issues = attach_issues(df, params, names)
+    summary = issue_summary(issues, names)
+    info: dict[str, Any] = {"issue_types": names}
+    return issues, summary, info

@@ -1,0 +1,43 @@
+"""Issue-module registry — the extension API.
+
+Mirrors the reference's ``@register_issue_manager`` decorator + factory
+(/root/reference/src/cleanvision/issue_managers/__init__.py:21-67,
+exercised by tests/test_run.py:308-323): each issue type registers a
+builder ``(DataFrame, params) -> DataFrame`` that adds its
+``{issue}_score`` / ``is_{issue}_issue`` columns.
+
+``kind`` orders execution in plans/pipeline.py:
+- "row": pure per-row columns (batched into one projection);
+- "global": needs a dataset-global aggregate broadcast back (odd_size);
+- "group": needs a key-grouping shuffle (duplicates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+Builder = Callable[[DataFrame, dict[str, Any]], DataFrame]
+
+_REGISTRY: dict[str, tuple[str, Builder]] = {}
+
+
+def register_issue(name: str, kind: str = "row") -> Callable[[Builder], Builder]:
+    if kind not in ("row", "global", "group"):
+        raise ValueError(f"bad kind: {kind}")
+
+    def deco(fn: Builder) -> Builder:
+        _REGISTRY[name] = (kind, fn)
+        return fn
+
+    return deco
+
+
+def issue_builders() -> dict[str, tuple[str, Builder]]:
+    # import for registration side effects (mirrors the reference's
+    # auto-import loop, issue_managers/__init__.py:58-67)
+    import cleanvision_spark.operators.builders  # noqa: F401
+
+    return dict(_REGISTRY)

@@ -1,0 +1,56 @@
+"""Pure-function kernel tests with closed-form expectations — mirrors the
+reference's helper tests (/root/reference/tests/test_image_property_helpers.py:21-73)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from cleanvision_spark.config import merge_params
+from cleanvision_spark.functions.entropy import char_entropy
+
+import pytest
+
+
+def test_entropy_closed_form():
+    assert char_entropy("") == 0.0
+    assert char_entropy(None) == 0.0
+    assert char_entropy("aaaa") == 0.0
+    assert char_entropy("abcd") == 2.0
+    assert abs(char_entropy("aabc") - 1.5) < 1e-12
+
+
+def test_entropy_unicode():
+    assert char_entropy("áá") == 0.0
+    assert char_entropy("áb") == 1.0
+
+
+def test_sha256_known_constant():
+    assert (
+        hashlib.sha256(b"hello\n").hexdigest()
+        == "5891b5b522d5df086d0ff0b110fbd9d21bb4fc7163af34d08286a2e846f6be03"
+    )
+
+
+def test_param_merge_semantics():
+    # reference: defaults merged with None-stripped overrides, unknown raises
+    # (image_property_issue_manager.py:57-80)
+    p = merge_params({"dark": {"threshold": 0.5}})
+    assert p["dark"]["threshold"] == 0.5
+    assert p["light"]["threshold"] == 0.05
+    p = merge_params({"dark": {"threshold": None}})
+    assert p["dark"]["threshold"] == 0.32
+    with pytest.raises(ValueError):
+        merge_params({"nope": {}})
+    with pytest.raises(ValueError):
+        merge_params({"dark": {"bogus": 1}})
+
+
+def test_blurry_squashing_math():
+    # minified: 1 line, 5000 chars -> lines/KB = 1/6 -> score ~0.154 < 0.29
+    lpk = 1 / (5000 / 1000 + 1)
+    score = 1 - math.exp(-0.01 * lpk * 100)
+    assert score < 0.29
+    # normal: 50 lines, 2000 chars -> score ~1
+    lpk = 50 / (2000 / 1000 + 1)
+    assert 1 - math.exp(-0.01 * lpk * 100) > 0.8
