@@ -1,14 +1,26 @@
-"""CodeLab — the Imagelab-equivalent facade (stub; grows with the pipeline).
+"""CodeLab — the Imagelab-equivalent facade.
 
-Reference surface: /root/reference/src/cleanvision/imagelab.py
-(find_issues :202-300, report :376-471, save/load :667-703).
+Reference surface: /root/reference/src/cleanvision/imagelab.py —
+__init__ :122-154, find_issues :202-300, report :376-471,
+save/load :667-703. Differences are deliberate Spark-first choices:
+``issues`` / ``issue_summary`` are lazy DataFrames (one Catalyst plan)
+instead of eager pandas; save() writes parquet + a JSON manifest instead
+of pickle+CSV (serialize.py:22-89); there is no n_jobs knob — Spark owns
+parallelism.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+from typing import Any
 
-from cleanvision_spark.config import merge_params
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import flag_col, merge_params, score_col
+
+_MANIFEST = "codelab_manifest.json"
 
 
 class CodeLab:
@@ -16,14 +28,99 @@ class CodeLab:
         self.df = df
         self.issues: DataFrame | None = None
         self.issue_summary: DataFrame | None = None
-        self.info: dict = {}
+        self.info: dict[str, Any] = {}
+        self._issue_types: list[str] = []
 
+    # -- find_issues (imagelab.py:202-300) --------------------------------
     def find_issues(self, issue_types: dict | None = None) -> "CodeLab":
         from cleanvision_spark.plans.pipeline import run_pipeline
 
         params = merge_params(issue_types)
         which = list(issue_types) if issue_types else None
-        self.issues, self.issue_summary, self.info = run_pipeline(
-            self.df, params, which
+        issues, summary, info = run_pipeline(self.df, params, which)
+        # accretion semantics (utils/utils.py:101-118): re-running with new
+        # issue types joins new columns onto previous results by key
+        if self.issues is not None:
+            prev_cols = [
+                c
+                for c in self.issues.columns
+                if c not in issues.columns or c in ("repo", "path", "commit")
+            ]
+            issues = issues.join(
+                self.issues.select(*prev_cols), ["repo", "path", "commit"], "left"
+            )
+        self.issues = issues
+        self.issue_summary = summary
+        self.info.update(info)
+        self._issue_types = sorted(
+            set(self._issue_types) | set(info.get("issue_types", []))
         )
         return self
+
+    # -- quality filter (north rule) --------------------------------------
+    def quality_filter(self, issue_types: dict | None = None) -> DataFrame:
+        from cleanvision_spark.plans.pipeline import quality_filter
+
+        params = merge_params(issue_types)
+        which = list(issue_types) if issue_types else None
+        return quality_filter(self.df, params, which)
+
+    # -- report (imagelab.py:376-471) --------------------------------------
+    def report(self, num_rows: int = 4, max_prevalence: float = 0.5) -> str:
+        from cleanvision_spark.operators.summary import prevalence_filter, top_k_severe
+
+        if self.issues is None:
+            raise RuntimeError("run find_issues first")
+        total = self.issues.count()
+        summary = prevalence_filter(self.issue_summary, total, max_prevalence)
+        lines = ["Issues found in order of severity:", ""]
+        for row in summary.collect():
+            issue, n = row["issue_type"], row["num_files"]
+            if not n:
+                continue  # skip zero-count issues (imagelab.py:450-456)
+            lines.append(f"--- {issue}: {n} files ---")
+            top = top_k_severe(self.issues, issue, k=num_rows)
+            for r in top.select("repo", "path", score_col(issue)).collect():
+                lines.append(
+                    f"  {r['repo']}/{r['path']}  score={r[score_col(issue)]:.4f}"
+                )
+            lines.append("")
+        return "\n".join(lines)
+
+    # -- save/load (imagelab.py:667-703, serialize.py) ---------------------
+    def save(self, path: str, force: bool = False) -> None:
+        mode = "overwrite" if force else "errorifexists"
+        if self.issues is None:
+            raise RuntimeError("run find_issues first")
+        drop = {"content", "content_scrubbed"}
+        cols = [c for c in self.issues.columns if c not in drop]
+        self.issues.select(*cols).write.mode(mode).parquet(f"{path}/issues")
+        self.issue_summary.write.mode(mode).parquet(f"{path}/issue_summary")
+        from cleanvision_spark import __version__
+
+        manifest = {
+            "version": __version__,
+            "issue_types": self._issue_types,
+            "info": {k: v for k, v in self.info.items() if isinstance(v, (str, int, float, list, dict))},
+        }
+        with open(os.path.join(path, _MANIFEST), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, df: DataFrame | None = None) -> "CodeLab":
+        with open(os.path.join(path, _MANIFEST)) as f:
+            manifest = json.load(f)
+        from cleanvision_spark import __version__
+
+        if manifest["version"] != __version__:  # serialize.py:32-41
+            import warnings
+
+            warnings.warn(
+                f"saved with version {manifest['version']}, current {__version__}"
+            )
+        lab = cls(df if df is not None else spark.read.parquet(f"{path}/issues"))
+        lab.issues = spark.read.parquet(f"{path}/issues")
+        lab.issue_summary = spark.read.parquet(f"{path}/issue_summary")
+        lab.info = manifest.get("info", {})
+        lab._issue_types = manifest.get("issue_types", [])
+        return lab

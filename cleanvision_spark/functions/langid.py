@@ -1,0 +1,300 @@
+"""Hand-rolled fastText-style character n-gram language-ID for code.
+
+Recast of the reference's color-space sniffing ('grayscale' issue,
+/root/reference/src/cleanvision/issue_managers/image_property.py:296-341):
+there, mode != declared ("L" vs RGB) flags the row; here, predicted
+language != declared ``lang`` column flags it. Binary score like the
+original: 1.0 match, 0.0 mismatch.
+
+Model = per-language char-trigram log-probability profiles over a hashed
+bucket space, trained at import time on small embedded code samples
+(public-knowledge snippets written for this repo — no external data, no
+fasttext dependency). Deterministic: crc32 hashing, fixed samples, fixed
+smoothing; identical scores at any parallelism.
+
+Execution: Arrow-batched pandas UDF; per row O(min(len, CAP)) numpy.
+The profile arrays are built lazily once per worker process (module
+state) — nothing large is pickled into the UDF closure, the natural
+Spark equivalent of a broadcast variable for derived-on-the-fly state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_BUCKETS = 1 << 18
+LANGID_CAP = 8192  # score at most this many chars (bounded per-row work)
+
+# Embedded training samples: idiomatic fragments per language, written for
+# this project. Intentionally heavier on keywords/punctuation than on
+# identifiers so the trigram profiles generalize across codebases.
+_SAMPLES: dict[str, str] = {
+    "python": '''
+import os
+import sys
+from typing import List, Optional, Dict
+
+def parse_args(argv: List[str]) -> Dict[str, str]:
+    """Parse command line arguments."""
+    result = {}
+    for arg in argv:
+        if arg.startswith("--"):
+            key, _, value = arg.partition("=")
+            result[key.lstrip("-")] = value
+    return result
+
+class Config:
+    def __init__(self, path: str, debug: bool = False):
+        self.path = path
+        self.debug = debug
+        self._cache = None
+
+    def load(self):
+        with open(self.path) as f:
+            data = f.read()
+        return [line.strip() for line in data.splitlines() if line]
+
+    def __repr__(self) -> str:
+        return f"Config(path={self.path!r})"
+
+def accumulate(limit: int) -> int:
+    total = 0
+    for i in range(limit):
+        total += i * 2
+    values = [i for i in range(limit) if i % 3 == 0]
+    return total + len(values)
+
+def main():
+    args = parse_args(sys.argv[1:])
+    cfg = Config(args.get("config", "settings.ini"))
+    try:
+        items = cfg.load()
+    except FileNotFoundError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        raise SystemExit(1)
+    for i, item in enumerate(items):
+        print(i, item)
+
+if __name__ == "__main__":
+    main()
+''',
+    "java": """
+package com.example.app;
+
+import java.util.ArrayList;
+import java.util.List;
+import java.util.Map;
+import java.util.HashMap;
+
+public class ConfigLoader {
+    private final String path;
+    private static final int MAX_RETRIES = 3;
+
+    public ConfigLoader(String path) {
+        this.path = path;
+    }
+
+    public Map<String, String> load() throws IOException {
+        Map<String, String> result = new HashMap<>();
+        List<String> lines = Files.readAllLines(Paths.get(this.path));
+        for (String line : lines) {
+            String trimmed = line.trim();
+            if (trimmed.isEmpty() || trimmed.startsWith("#")) {
+                continue;
+            }
+            String[] parts = trimmed.split("=", 2);
+            result.put(parts[0], parts.length > 1 ? parts[1] : "");
+        }
+        return result;
+    }
+
+    public static int accumulate(int limit) {
+        int total = 0;
+        for (int i = 0; i < limit; i++) {
+            total += i * 2;
+        }
+        return total;
+    }
+
+    public static void main(String[] args) {
+        ConfigLoader loader = new ConfigLoader(args.length > 0 ? args[0] : "app.properties");
+        try {
+            System.out.println(loader.load());
+        } catch (IOException e) {
+            System.err.println("failed: " + e.getMessage());
+        }
+    }
+}
+""",
+    "javascript": """
+const fs = require('fs');
+const path = require('path');
+
+function parseConfig(text) {
+    const result = {};
+    for (const line of text.split('\\n')) {
+        const trimmed = line.trim();
+        if (!trimmed || trimmed.startsWith('//')) continue;
+        const [key, ...rest] = trimmed.split('=');
+        result[key] = rest.join('=');
+    }
+    return result;
+}
+
+class Loader {
+    constructor(filename) {
+        this.filename = filename;
+        this.cache = null;
+    }
+
+    async load() {
+        if (this.cache !== null) return this.cache;
+        const text = await fs.promises.readFile(this.filename, 'utf8');
+        this.cache = parseConfig(text);
+        return this.cache;
+    }
+}
+
+function sumSeries(start, count) {
+    const values = [];
+    for (let i = 0; i < count; i++) { values.push(start + i * 2); }
+    return values.reduce((s, v) => s + v, 0);
+}
+
+function buildIndex(items) {
+    const index = [];
+    for (let i = 0; i < items.length; i++) { index.push(items[i].id); }
+    return index.filter((x) => x !== undefined).map((x) => String(x));
+}
+
+module.exports = { Loader, parseConfig, sumSeries, buildIndex };
+
+const loader = new Loader(path.join(__dirname, 'config.ini'));
+loader.load().then((cfg) => {
+    console.log(JSON.stringify(cfg, null, 2));
+}).catch((err) => {
+    console.error(`failed: ${err.message}`);
+    process.exit(1);
+});
+""",
+    "go": """
+package main
+
+import (
+    "bufio"
+    "fmt"
+    "os"
+    "strings"
+)
+
+type Config struct {
+    Path  string
+    Debug bool
+}
+
+func LoadConfig(path string) (map[string]string, error) {
+    f, err := os.Open(path)
+    if err != nil {
+        return nil, fmt.Errorf("open %s: %w", path, err)
+    }
+    defer f.Close()
+
+    result := make(map[string]string)
+    scanner := bufio.NewScanner(f)
+    for scanner.Scan() {
+        line := strings.TrimSpace(scanner.Text())
+        if line == "" || strings.HasPrefix(line, "#") {
+            continue
+        }
+        parts := strings.SplitN(line, "=", 2)
+        if len(parts) == 2 {
+            result[parts[0]] = parts[1]
+        }
+    }
+    return result, scanner.Err()
+}
+
+func Accumulate(limit int) int {
+    total := 0
+    for i := 0; i < limit; i++ {
+        total += i * 2
+    }
+    return total
+}
+
+func main() {
+    cfg, err := LoadConfig(os.Args[1])
+    if err != nil {
+        fmt.Fprintln(os.Stderr, err)
+        os.Exit(1)
+    }
+    for k, v := range cfg {
+        fmt.Printf("%s=%v\\n", k, v)
+    }
+}
+""",
+}
+
+LANGS = sorted(_SAMPLES)
+
+_PROFILES: dict[str, np.ndarray] | None = None
+
+
+def _trigram_hashes(s: str) -> np.ndarray:
+    """Deterministic hashed trigrams of a string (crc-free: polynomial
+    over utf-8 bytes, mod 2^16)."""
+    b = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+    if len(b) < 3:
+        return np.empty(0, dtype=np.int64)
+    h = (
+        b[:-2].astype(np.int64) * 65536
+        + b[1:-1].astype(np.int64) * 256
+        + b[2:].astype(np.int64)
+    )
+    return h % N_BUCKETS
+
+
+def _profiles() -> dict[str, np.ndarray]:
+    """Per-language *discriminative* log-prob profiles, built once per
+    process: smoothed log-probs minus the cross-language mean, so trigrams
+    shared by every language (C-style braces, 'for (', ' = ') contribute
+    ~0 and only distinctive ones ('def ', ' => ', 'func', 'public')
+    drive the argmax — the same effect as fastText's learned weights."""
+    global _PROFILES
+    if _PROFILES is None:
+        logps = {}
+        for lang, sample in _SAMPLES.items():
+            counts = np.bincount(_trigram_hashes(sample), minlength=N_BUCKETS)
+            # uniform-mixture smoothing on *frequencies*, not counts:
+            # p is invariant to sample length, and a trigram unseen in
+            # every language contributes the identical constant to every
+            # score — the argmax is driven purely by seen evidence.
+            probs = 0.95 * (counts / counts.sum()) + 0.05 / N_BUCKETS
+            logps[lang] = np.log(probs)
+        mean = np.mean(list(logps.values()), axis=0)
+        _PROFILES = {lang: (lp - mean).astype(np.float64) for lang, lp in logps.items()}
+    return _PROFILES
+
+
+def predict_lang(s: str | None) -> str:
+    """argmax over languages of mean trigram log-probability."""
+    if not s:
+        return "unknown"
+    h = _trigram_hashes(s[:LANGID_CAP])
+    if len(h) == 0:
+        return "unknown"
+    profs = _profiles()
+    best_lang, best = "unknown", -np.inf
+    for lang in LANGS:
+        score = float(profs[lang][h].mean())
+        if score > best:
+            best_lang, best = lang, score
+    return best_lang
+
+
+@F.pandas_udf(T.StringType())
+def predict_lang_udf(s: pd.Series) -> pd.Series:
+    return s.map(predict_lang)

@@ -1,0 +1,142 @@
+"""KenLM-style char n-gram LM with a file-local cache — the dark/light signal.
+
+Recast of the reference's brightness percentiles
+(/root/reference/src/cleanvision/issue_managers/image_property.py:64-163):
+per-pixel luminance becomes per-char *information brightness* — the
+normalized surprisal of each character under a blend of
+
+- a static byte-trigram LM with stupid backoff (trigram → 0.4·bigram →
+  0.16·unigram), trained once on the embedded code samples used by the
+  langid model (deterministic, no external data, no kenlm dependency);
+- a file-local *cache* model (classic cache-LM component): the
+  probability of a bigram given how often it already occurred earlier in
+  the same file. This is what makes 500 identical lines score as
+  near-zero surprisal (boilerplate → 'dark') even though a static LM
+  alone is blind to repetition.
+
+Per-char q_i = clip(surprisal_bits / 16, 0, 1). Exactly like brightness:
+dark_score = percentile_99(q)  (even the most surprising char is dull)
+light_score = 1 − percentile_5(q)  (even the dullest char is noise)
+with the reference's thresholds 0.32 / 0.05 and percentile set
+[1,5,10,15,90,95,99] + mean (image_property.py:96-119).
+
+Vectorized numpy per row (argsort-based cache counting, table lookups);
+Arrow-batched pandas UDF; work capped at PPL_CAP bytes per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cleanvision_spark.functions.langid import _SAMPLES
+
+PPL_CAP = 16384
+PERCENTILES = [1, 5, 10, 15, 90, 95, 99]
+MAX_BITS = 16.0
+CACHE_WEIGHT = 0.3
+BACKOFF = 0.4
+
+_TABLES: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
+
+def _tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """uni[256], bi[256,256], tri hashed [2^20] counts from the embedded
+    training corpus; built once per worker process."""
+    global _TABLES
+    if _TABLES is None:
+        text = "\n".join(_SAMPLES[k] for k in sorted(_SAMPLES))
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        uni = np.bincount(b, minlength=256).astype(np.float64)
+        bi = np.zeros((256, 256), dtype=np.float64)
+        np.add.at(bi, (b[:-1], b[1:]), 1.0)
+        tri_h = (b[:-2] * 65536 + b[1:-1] * 256 + b[2:]) % (1 << 20)
+        tri = np.bincount(tri_h, minlength=1 << 20).astype(np.float64)
+        _TABLES = (uni, bi, tri)
+    return _TABLES
+
+
+def _static_prob(b: np.ndarray) -> np.ndarray:
+    """p(char | 2-char context) with stupid backoff, for positions 2..n."""
+    uni, bi, tri = _tables()
+    n_uni = uni.sum()
+    p_uni = (uni + 0.5) / (n_uni + 128.0)
+
+    c0, c1, c2 = b[:-2], b[1:-1], b[2:]
+    tri_h = (c0 * 65536 + c1 * 256 + c2) % (1 << 20)
+    tri_cnt = tri[tri_h]
+    bi_ctx = bi[c0, c1]
+    bi_cnt = bi[c1, c2]
+    uni_ctx = uni[c1]
+
+    p_bi = np.where(
+        (bi_cnt > 0) & (uni_ctx > 0),
+        bi_cnt / np.maximum(uni_ctx, 1.0),
+        BACKOFF * p_uni[c2],
+    )
+    p = np.where(
+        (tri_cnt > 0) & (bi_ctx > 0),
+        tri_cnt / np.maximum(bi_ctx, 1.0),
+        BACKOFF * p_bi,
+    )
+    return np.clip(p, 1e-12, 1.0)
+
+
+def _occurrences_before(keys: np.ndarray) -> np.ndarray:
+    """For each position i: how many times keys[i] occurred in keys[:i].
+    Vectorized via stable argsort grouping."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    boundaries = np.flatnonzero(np.diff(ks)) + 1
+    first = np.concatenate(([0], boundaries))
+    group_len = np.diff(np.concatenate((first, [len(ks)])))
+    starts = np.repeat(first, group_len)
+    occ_sorted = np.arange(len(ks)) - starts
+    occ = np.empty(len(ks), dtype=np.float64)
+    occ[order] = occ_sorted
+    return occ
+
+
+def _cache_prob(b: np.ndarray) -> np.ndarray:
+    """File-local conditional cache: p(c_i | c_{i-1}) estimated from the
+    file's own history — occurrences of the bigram (c_{i-1}, c_i) so far
+    over occurrences of c_{i-1} so far. Repeated content drives this to
+    ~1 regardless of what the static LM thinks. Aligned with positions
+    2..n (same as the static trigram probabilities)."""
+    g = b[:-1] * 256 + b[1:]
+    occ_bi = _occurrences_before(g)
+    occ_prev = _occurrences_before(b)[:-1]  # prev-char occurrences, aligned with g
+    p = occ_bi / np.maximum(occ_prev, 1.0)
+    return np.clip(p, 0.0, 1.0)[1:]  # drop first bigram to align with trigrams
+
+
+def surprisal_quantiles(s: str | None) -> dict[str, float]:
+    """Percentiles + mean of per-char normalized surprisal q in [0,1]."""
+    if not s:
+        q = np.zeros(1)
+    else:
+        b = np.frombuffer(
+            s[:PPL_CAP].encode("utf-8", "replace"), dtype=np.uint8
+        ).astype(np.int64)
+        if len(b) < 3:
+            q = np.zeros(1)
+        else:
+            p = (1 - CACHE_WEIGHT) * _static_prob(b) + CACHE_WEIGHT * _cache_prob(b)
+            bits = -np.log2(np.clip(p, 1e-12, 1.0))
+            q = np.clip(bits / MAX_BITS, 0.0, 1.0)
+    out = {f"q_p{p}": float(np.percentile(q, p)) for p in PERCENTILES}
+    out["q_mean"] = float(q.mean())
+    return out
+
+
+PPL_SCHEMA = T.StructType(
+    [T.StructField(f"q_p{p}", T.DoubleType()) for p in PERCENTILES]
+    + [T.StructField("q_mean", T.DoubleType())]
+)
+
+
+@F.pandas_udf(PPL_SCHEMA)
+def surprisal_udf(s: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([surprisal_quantiles(v) for v in s])

@@ -1,0 +1,41 @@
+"""The single-pass properties UDF: one Arrow round-trip for every
+Python-side signal (entropy + surprisal percentiles + language-ID).
+
+This is the reference's defer-set optimization done structurally
+(image_property_issue_manager.py:93-108 & :45-46 — 'Combined all issues
+... to save time on loading image'): all heavy per-row properties are
+computed in ONE batched UDF returning a struct, so content crosses the
+JVM↔Python boundary exactly once per row regardless of how many issue
+types are enabled.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cleanvision_spark.functions.entropy import char_entropy
+from cleanvision_spark.functions.langid import predict_lang
+from cleanvision_spark.functions.perplexity import PERCENTILES, surprisal_quantiles
+
+UDF_PROPS_SCHEMA = T.StructType(
+    [T.StructField("entropy", T.DoubleType())]
+    + [T.StructField(f"q_p{p}", T.DoubleType()) for p in PERCENTILES]
+    + [
+        T.StructField("q_mean", T.DoubleType()),
+        T.StructField("lang_pred", T.StringType()),
+    ]
+)
+
+
+def _row_props(s: str | None) -> dict:
+    out: dict = {"entropy": char_entropy(s)}
+    out.update(surprisal_quantiles(s))
+    out["lang_pred"] = predict_lang(s)
+    return out
+
+
+@F.pandas_udf(UDF_PROPS_SCHEMA)
+def udf_properties(s: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame([_row_props(v) for v in s])

@@ -1,0 +1,59 @@
+"""PII / toxicity scrub — M10, new per north_rule (no reference analog).
+
+Pure Catalyst regexp_replace chain (JVM-side, codegen'd, zero Python):
+emails, AWS-style access keys, long hex secrets, IPv4 addresses, and a
+fixed toxic-word list. Fixed application order so sha256(content_scrubbed)
+is a stable per-row invariant (BASELINE.json input_hint).
+
+Patterns kept to the regex subset with identical semantics in Java
+(Spark), RE2 (DuckDB oracle), and Python re (the synthetic-corpus label
+generator scrubs with re as an independent implementation) — that
+three-way agreement is itself a correctness check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement), applied in order.
+SCRUB_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"AKIA[0-9A-Z]{16}", "<AWSKEY>"),
+    (r"(?i)(api[_-]?key|secret|token|passwd|password)([\"']?\s*[:=]\s*[\"'])[^\"']{6,}([\"'])", r"$1$2<SECRET>$3"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"(?i)\b(fuck\w*|shit\w*|bitch\w*|asshole\w*|bastard\w*)\b", "<TOXIC>"),
+]
+
+# Python-re replacement strings (Java/RE2 use $1, Python uses \1)
+PY_SCRUB_RULES: list[tuple[str, str]] = [
+    (p, r.replace("$1", "\\1").replace("$2", "\\2").replace("$3", "\\3"))
+    for p, r in SCRUB_RULES
+]
+
+
+def scrub_column(content: Column | str = "content") -> Column:
+    c = F.col(content) if isinstance(content, str) else content
+    for pattern, repl in SCRUB_RULES:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def scrub_text_py(s: str) -> str:
+    """Independent Python-re implementation, used by the synthetic-corpus
+    generator to produce expected labels (and in unit tests)."""
+    import re
+
+    for pattern, repl in PY_SCRUB_RULES:
+        s = re.sub(pattern, repl, s)
+    return s
+
+
+def duckdb_scrub_expr(col: str = "content") -> str:
+    """DuckDB mirror for oracle SQL: chained regexp_replace with 'g'."""
+    expr = col
+    for pattern, repl in SCRUB_RULES:
+        p = pattern.replace("'", "''")
+        r = repl.replace("$1", "\\1").replace("$2", "\\2").replace("$3", "\\3")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr

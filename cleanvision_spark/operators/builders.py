@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from cleanvision_spark.config import flag_col, score_col
 from cleanvision_spark.operators import issues as I
@@ -43,6 +44,36 @@ def build_blurry(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     )
 
 
+@register_issue("dark", kind="row")
+def build_dark(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    """dark = boilerplate: even the 99th-percentile char surprisal is low.
+    Mirrors dark score = perc_99 of brightness (image_property.py:158-163)."""
+    return df.withColumn(score_col("dark"), F.round(F.col("q_p99"), 9)).withColumn(
+        flag_col("dark"), I.threshold_flag("dark", float(params["threshold"]))
+    )
+
+
+@register_issue("light", kind="row")
+def build_light(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    """light = gibberish: mean char surprisal is high. Reference formula is
+    1 - perc_5 of brightness (image_property.py:131-137); the recast uses
+    1 - mean(q) — see config.py note on the recalibration."""
+    return df.withColumn(
+        score_col("light"), F.round(F.lit(1.0) - F.col("q_mean"), 9)
+    ).withColumn(flag_col("light"), I.threshold_flag("light", float(params["threshold"])))
+
+
+@register_issue("grayscale", kind="row")
+def build_grayscale(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    """grayscale = language mismatch: predicted lang != declared lang.
+    Binary 0/1 score + inversion flag like the original (P2,
+    image_property.py:327-341)."""
+    return df.withColumn(
+        score_col("grayscale"),
+        F.when(F.col("lang_pred") == F.col("lang"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).withColumn(flag_col("grayscale"), I.inversion_flag("grayscale"))
+
+
 @register_issue("odd_size", kind="global")
 def build_odd_size(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     return I.with_odd_size(df, params)
@@ -50,4 +81,6 @@ def build_odd_size(df: DataFrame, params: dict[str, Any]) -> DataFrame:
 
 @register_issue("exact_duplicates", kind="group")
 def build_exact_duplicates(df: DataFrame, params: dict[str, Any]) -> DataFrame:
-    return exact_duplicate_scores(df)
+    from cleanvision_spark.operators.decision import with_exact_canonical
+
+    return with_exact_canonical(exact_duplicate_scores(df))

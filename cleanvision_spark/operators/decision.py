@@ -1,0 +1,62 @@
+"""keep/drop decision + scrubbed output — the pipeline's final verdict.
+
+North-rule addition (no reference analog; the reference only reports).
+Semantics:
+- any content-quality flag (DROP_ISSUES) → drop;
+- duplicate groups keep exactly one canonical member — the minimum
+  (repo, path, commit) in the sha256 group (deterministic, partition-
+  invariant) — and drop the rest;
+- survivors get content_scrubbed + sha256_scrubbed (the per-row
+  invariant checked against reference labels).
+
+Scale notes: canonical-member selection is a min-aggregation on the
+same sha256 key as the duplicate count — Catalyst computes both in ONE
+groupBy and one join (no extra shuffle vs. the count alone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import DROP_ISSUES, flag_col
+from cleanvision_spark.functions.scrub import scrub_column
+from cleanvision_spark.schema import KEY_COLS
+
+
+def with_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
+    scrubbed = scrub_column(content_col)
+    return df.withColumn("content_scrubbed", scrubbed).withColumn(
+        "sha256_scrubbed", F.sha2(F.col("content_scrubbed"), 256)
+    )
+
+
+def with_keep(df: DataFrame) -> DataFrame:
+    """Add the boolean ``keep`` column."""
+    quality_drop = F.lit(False)
+    for issue in DROP_ISSUES:
+        col = flag_col(issue)
+        if col in df.columns:
+            quality_drop = quality_drop | F.coalesce(F.col(col), F.lit(False))
+
+    dup_drop = F.lit(False)
+    for issue in ("exact_duplicates", "near_duplicates"):
+        col = flag_col(issue)
+        canon = f"_is_canonical_{issue}"
+        if col in df.columns and canon in df.columns:
+            dup_drop = dup_drop | (F.col(col) & ~F.col(canon))
+    return df.withColumn("keep", ~(quality_drop | dup_drop))
+
+
+def with_exact_canonical(df: DataFrame) -> DataFrame:
+    """Mark the canonical (minimum-key) member of each sha256 group."""
+    if "sha256" not in df.columns:
+        from cleanvision_spark.operators.duplicates import with_sha256
+
+        df = with_sha256(df)
+    key = F.struct(*[F.col(c) for c in KEY_COLS])
+    canon = df.groupBy("sha256").agg(F.min(key).alias("_canon_key"))
+    out = df.join(canon, "sha256", "left")
+    return out.withColumn(
+        "_is_canonical_exact_duplicates", key == F.col("_canon_key")
+    ).drop("_canon_key")

@@ -29,15 +29,33 @@ CHEAP_PROPS = [
 ]
 
 
+UDF_PROPS = ["entropy", "q_p1", "q_p5", "q_p10", "q_p15", "q_p90", "q_p95", "q_p99", "q_mean", "lang_pred"]
+
+
 def with_properties(
-    df: DataFrame, content_col: str = "content", entropy: bool = True
+    df: DataFrame,
+    content_col: str = "content",
+    entropy: bool = True,
+    udf_props: bool = False,
 ) -> DataFrame:
-    """Add every missing raw-property column in one projection."""
+    """Add every missing raw-property column in one projection.
+
+    ``udf_props=True`` adds ALL Python-side properties (entropy,
+    surprisal percentiles, lang_pred) via the combined single-pass UDF —
+    one Arrow round-trip total. ``entropy=True`` alone uses the cheaper
+    entropy-only UDF.
+    """
     cols = {
         name: col
         for name, col in cheap_property_columns(content_col).items()
         if name not in df.columns
     }
+    if udf_props and not all(p in df.columns for p in UDF_PROPS):
+        from cleanvision_spark.functions.properties_udf import udf_properties
+
+        df = df.withColumns(cols) if cols else df
+        df = df.withColumn("_uprops", udf_properties(F.col(content_col)))
+        return df.select("*", "_uprops.*").drop("_uprops")
     if entropy and "entropy" not in df.columns:
         cols["entropy"] = char_entropy_udf(F.col(content_col))
     return df.withColumns(cols) if cols else df

@@ -24,6 +24,9 @@ from cleanvision_spark.registry import issue_builders
 KIND_ORDER = {"row": 0, "global": 1, "group": 2}
 
 
+UDF_ISSUES = {"dark", "light", "grayscale"}
+
+
 def attach_issues(
     df: DataFrame,
     params: dict[str, dict[str, Any]],
@@ -32,12 +35,28 @@ def attach_issues(
     """Add score/flag columns for every requested (implemented) issue."""
     builders = issue_builders()
     names = [n for n in (which or list(builders)) if n in builders]
+    needs_udf = bool(UDF_ISSUES & set(names))
     needs_entropy = "low_information" in names
-    df = with_properties(df, entropy=needs_entropy)
+    df = with_properties(df, entropy=needs_entropy, udf_props=needs_udf)
     for name in sorted(names, key=lambda n: (KIND_ORDER[builders[n][0]], n)):
         _, fn = builders[name]
         df = fn(df, params.get(name, {}))
     return df
+
+
+def quality_filter(
+    df: DataFrame,
+    params: dict[str, dict[str, Any]],
+    which: list[str] | None = None,
+) -> DataFrame:
+    """The full north-rule pipeline: issues → keep/drop → scrub.
+
+    Returns the input columns + per-issue score/flag + ``keep`` +
+    ``content_scrubbed`` / ``sha256_scrubbed``.
+    """
+    from cleanvision_spark.operators.decision import with_keep, with_scrub
+
+    return with_scrub(with_keep(attach_issues(df, params, which)))
 
 
 def run_pipeline(

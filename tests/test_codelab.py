@@ -1,0 +1,40 @@
+"""CodeLab facade: find_issues accretion, report, save/load roundtrip
+(mirrors /root/reference/tests/test_run.py:63-118 incremental semantics
+and tests/test_save_load.py:40-50)."""
+
+from __future__ import annotations
+
+from cleanvision_spark import CodeLab
+from cleanvision_spark.schema import CORPUS_SCHEMA
+from cleanvision_spark.sources.synth import generate_corpus
+
+
+def _lab(spark):
+    corpus, _ = generate_corpus(n_clean=24, seed=7)
+    return CodeLab(spark.createDataFrame(corpus, CORPUS_SCHEMA))
+
+
+def test_incremental_find_issues(spark):
+    lab = _lab(spark)
+    lab.find_issues({"low_information": {}})
+    assert "is_low_information_issue" in lab.issues.columns
+    assert "is_blurry_issue" not in lab.issues.columns
+    lab.find_issues({"blurry": {}})
+    # accretion: both issue columns present after second call
+    assert "is_blurry_issue" in lab.issues.columns
+    assert "is_low_information_issue" in lab.issues.columns
+
+
+def test_report_and_save_load(spark, tmp_path):
+    lab = _lab(spark)
+    lab.find_issues()
+    text = lab.report(num_rows=2)
+    assert "Issues found" in text
+    out = str(tmp_path / "lab")
+    lab.save(out, force=True)
+    lab2 = CodeLab.load(spark, out)
+    assert lab2.issue_summary.count() == lab.issue_summary.count()
+    assert sorted(lab2._issue_types) == sorted(lab._issue_types)
+    got = {r["issue_type"]: r["num_files"] for r in lab2.issue_summary.collect()}
+    want = {r["issue_type"]: r["num_files"] for r in lab.issue_summary.collect()}
+    assert got == want

@@ -37,7 +37,7 @@ def test_param_merge_semantics():
     # (image_property_issue_manager.py:57-80)
     p = merge_params({"dark": {"threshold": 0.5}})
     assert p["dark"]["threshold"] == 0.5
-    assert p["light"]["threshold"] == 0.05
+    assert p["light"]["threshold"] == 0.5  # recalibrated default (config.py)
     p = merge_params({"dark": {"threshold": None}})
     assert p["dark"]["threshold"] == 0.32
     with pytest.raises(ValueError):
