@@ -1,0 +1,161 @@
+"""Deterministic content hashes for near-duplicate detection:
+MinHash signatures + LSH band hashes, SimHash, and rolling fingerprints.
+
+Recast of the reference's perceptual-hash near-duplicates
+(/root/reference/src/cleanvision/issue_managers/duplicate_issue_manager.py:18-44
+— phash/whash/ahash/dhash selectable, near-dup = *hash equality*, not a
+distance join). Here the hash family is MinHash over token shingles with
+LSH banding (north_star), SimHash as the second family, and a rolling
+polynomial fingerprint as the cheap document-fingerprint op.
+
+Everything is hand-rolled with fixed seeds (no datasketch in the env):
+token hashing via zlib.crc32 (C speed, platform-stable), shingle/
+signature math fully vectorized numpy, run inside Arrow-batched pandas
+UDFs. Per-row work is capped (MAX_TOKENS) per the reference's
+bounded-work precedent (image_property.py:257-264).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE61 = np.uint64((1 << 61) - 1)
+NUM_PERM = 128
+# 16 bands x 8 rows: LSH detection threshold ~ (1/16)^(1/8) = 0.71 —
+# calibrated so a one-identifier rename (jaccard ~0.88) is caught with
+# p=0.999 while unrelated same-language files (jaccard <= ~0.14) collide
+# with p ~ 2e-6 per pair. 32x4 was measured to false-flag ~9% of a clean
+# corpus; see tests/test_duplicates.py.
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_K = 5
+MAX_TOKENS = 16384
+MINHASH_SEED = 42
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+_PERMS: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def _perms() -> tuple[np.ndarray, np.ndarray]:
+    global _PERMS
+    if _PERMS is None:
+        rng = np.random.default_rng(MINHASH_SEED)
+        a = rng.integers(1, int(MERSENNE61), size=NUM_PERM, dtype=np.int64)
+        b = rng.integers(0, int(MERSENNE61), size=NUM_PERM, dtype=np.int64)
+        _PERMS = (a.astype(np.uint64), b.astype(np.uint64))
+    return _PERMS
+
+
+def _token_hashes(s: str) -> np.ndarray:
+    """64-bit-ish token hashes: crc32 (C speed) spread by a golden-ratio
+    multiplier. Deterministic across platforms and runs."""
+    tokens = s.split()[:MAX_TOKENS]
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter(
+        (zlib.crc32(t.encode("utf-8", "replace")) for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    return (th + np.uint64(1)) * _MIX % MERSENNE61
+
+
+def _shingle_hashes(s: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct hashes of the k-token shingles (vectorized sliding window)."""
+    th = _token_hashes(s)
+    if len(th) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(th) < k:
+        k = len(th)
+    P = np.uint64(1000003)
+    acc = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        acc = (acc * P + th[j : len(th) - k + 1 + j]) % MERSENNE61
+    return np.unique(acc)
+
+
+def minhash_signature(s: str | None) -> np.ndarray:
+    """128-value MinHash signature of token shingles (int64)."""
+    x = _shingle_hashes(s or "")
+    if len(x) == 0:
+        return np.zeros(NUM_PERM, dtype=np.int64)
+    a, b = _perms()
+    # a*x deliberately wraps mod 2^64 (numpy uint64 semantics) before the
+    # mod-2^61-1 reduction: still a deterministic, well-mixed hash family.
+    vals = (a[:, None] * x[None, :] + b[:, None]) % MERSENNE61
+    return vals.min(axis=1).astype(np.int64)
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """Collapse the signature into BANDS bucket keys. Band b combines
+    signature rows [b*R, (b+1)*R); the band index is baked into the key
+    so buckets from different bands never collide."""
+    sig_u = sig.astype(np.uint64)
+    out = np.arange(BANDS, dtype=np.uint64) + np.uint64(1)
+    for r in range(ROWS_PER_BAND):
+        out = (out * np.uint64(1000003) + sig_u[r::ROWS_PER_BAND][:BANDS]) % MERSENNE61
+    return out.astype(np.int64)
+
+
+def minhash_bands(s: str | None) -> list[int]:
+    return band_hashes(minhash_signature(s)).tolist()
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_bands_udf(s: pd.Series) -> pd.Series:
+    return s.map(minhash_bands)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: minhash_signature(v).tolist())
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash64(s: str | None) -> int:
+    """61-bit SimHash over token hashes (unweighted majority vote)."""
+    if not s:
+        return 0
+    th = _token_hashes(s)
+    if len(th) == 0:
+        return 0
+    bits = ((th[:, None] >> np.arange(61, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits.sum(axis=0) * 2 - len(th)
+    word = int(((votes > 0).astype(np.uint64) << np.arange(61, dtype=np.uint64)).sum())
+    return word
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(s: pd.Series) -> pd.Series:
+    return s.map(simhash64)
+
+
+# --- rolling fingerprint ----------------------------------------------------
+
+
+def fingerprint64(s: str | None) -> int:
+    """Fingerprint of whitespace-normalized, lowercased content — the
+    cheap 'document fingerprint' op (equal fingerprint ⇒ same normalized
+    text, a 63-bit analog of the sha256 key). blake2b is C-speed and
+    platform-stable."""
+    import hashlib
+
+    if s is None:
+        return 0
+    norm = " ".join(s.lower().split())
+    digest = hashlib.blake2b(norm.encode("utf-8", "replace"), digest_size=8).digest()
+    return int.from_bytes(digest, "little") >> 1  # fit in positive int64
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint64_udf(s: pd.Series) -> pd.Series:
+    return s.map(fingerprint64)

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector — one
+  broadcast + one TakeOrderedAndProject; the correctness baseline.
+- lsh_buckets / lsh_topk: random-hyperplane (sign) LSH — the scale path:
+  candidate set = rows sharing the query's bucket in >= 1 of the tables,
+  exact cosine only on candidates. Deterministic planes (seeded rng,
+  built per process), Arrow-batched UDF for the sign bits.
+
+Cosine is computed with built-in higher-order functions
+(F.zip_with/F.aggregate — JVM-side, codegen) — no Python in the
+brute-force path at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ANN_SEED = 42
+# 6 sign bits x 8 tables: measured on the sf0.001 embeddings ->
+# ~13% candidate rate with 0.5 recall@10 (random near-orthogonal data is
+# the worst case for hyperplane LSH; correlated real embeddings do better)
+N_PLANES = 6
+N_TABLES = 8
+
+_PLANES: np.ndarray | None = None
+_DIM = 64
+
+
+def _planes(dim: int = _DIM) -> np.ndarray:
+    global _PLANES
+    if _PLANES is None or _PLANES.shape[2] != dim:
+        rng = np.random.default_rng(ANN_SEED)
+        _PLANES = rng.standard_normal((N_TABLES, N_PLANES, dim))
+    return _PLANES
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: scan → per-row expression → ordered limit
+    (TakeOrderedAndProject: per-partition heaps, no global sort)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_expr(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def signs_for(vecs: np.ndarray) -> np.ndarray:
+    """(n, N_TABLES) bucket ids from sign bits against the fixed planes."""
+    planes = _planes(vecs.shape[1])
+    out = np.zeros((len(vecs), N_TABLES), dtype=np.int64)
+    for t in range(N_TABLES):
+        bits = (vecs @ planes[t].T) > 0  # (n, N_PLANES)
+        out[:, t] = (bits.astype(np.int64) << np.arange(N_PLANES)).sum(axis=1)
+        out[:, t] += t << 32  # bake table id into the bucket key
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def lsh_buckets_udf(vec: pd.Series) -> pd.Series:
+    mat = np.array(vec.tolist(), dtype=np.float64)
+    if mat.ndim != 2:
+        return pd.Series([[0] * N_TABLES] * len(vec))
+    return pd.Series(signs_for(mat).tolist())
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only over rows sharing >= 1 LSH
+    bucket with the query. At 10^12 rows the bucketed table is
+    pre-materialized and bucket-partitioned; here it is computed inline."""
+    qbuckets = signs_for(np.array([query_vec], dtype=np.float64))[0].tolist()
+    cand = df.withColumn("_b", lsh_buckets_udf(F.col(vec_col))).filter(
+        F.arrays_overlap(
+            F.col("_b"), F.array(*[F.lit(int(b)) for b in qbuckets])
+        )
+    )
+    return brute_force_topk(cand.drop("_b"), query_vec, k, id_col, vec_col)

@@ -84,3 +84,10 @@ def build_exact_duplicates(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     from cleanvision_spark.operators.decision import with_exact_canonical
 
     return with_exact_canonical(exact_duplicate_scores(df))
+
+
+@register_issue("near_duplicates", kind="group")
+def build_near_duplicates(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    from cleanvision_spark.operators.duplicates import near_duplicate_scores
+
+    return near_duplicate_scores(df, params)

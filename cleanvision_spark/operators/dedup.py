@@ -1,0 +1,136 @@
+"""Training-pipeline deduplication suite over generic document tables.
+
+Five strategies, each a distinct scale/precision tradeoff:
+- exact:        sha256 equality (operators/duplicates.py)
+- normalized:   sha256 of lowercased whitespace-collapsed text — catches
+                formatting-only dups; pure Catalyst expressions.
+- minhash LSH:  shingle jaccard via band buckets (functions/hashing.py) —
+                the 10^12-row path: linear work + one groupBy shuffle.
+- simhash:      64-bit token-vote hash equality.
+- jaccard verify: exact pairwise jaccard, computed ONLY within small
+                candidate blocks — the refinement stage after LSH (a
+                global pairwise join is quadratic and deliberately not
+                offered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """1/k scores + canonical flag on normalized-text groups."""
+    norm_sha = F.sha2(normalized_text(text_col), 256)
+    out = df.withColumn("_nsha", norm_sha)
+    counts = out.groupBy("_nsha").agg(
+        F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id")
+    )
+    return (
+        out.join(counts, "_nsha", "left")
+        .select(
+            F.col(id_col),
+            F.col("_nsha").alias("norm_sha256"),
+            F.col("dup_count"),
+            (F.lit(1.0) / F.col("dup_count")).alias("dedup_score"),
+            (F.col("dup_count") > 1).alias("is_duplicate"),
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def dedup_minhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup groups: bucket equality, 1/k score, canonical.
+
+    Same plan shape as operators/duplicates.near_duplicate_scores but for
+    generic tables (no sha256 distinctness requirement — any shared
+    bucket of >= 2 rows counts)."""
+    from cleanvision_spark.functions.hashing import minhash_bands_udf
+
+    banded = df.select(
+        F.col(id_col), minhash_bands_udf(F.col(text_col)).alias("_bands")
+    )
+    ex = banded.select(id_col, F.explode("_bands").alias("_bh"))
+    buckets = (
+        ex.groupBy("_bh")
+        .agg(F.count(F.lit(1)).alias("_bcnt"), F.min(id_col).alias("_bmin"))
+        .filter(F.col("_bcnt") >= 2)
+    )
+    per_row = (
+        ex.join(buckets, "_bh")
+        .groupBy(id_col)
+        .agg(F.max("_bcnt").alias("_k"), F.min("_bmin").alias("_minid"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_row, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.lit(1.0) / F.col("_k"), F.lit(1.0)).alias("dedup_score"),
+            F.col("_k").isNotNull().alias("is_near_duplicate"),
+            (F.col("_k").isNull() | (F.col("_minid") == F.col(id_col))).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+def dedup_simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    from cleanvision_spark.functions.hashing import simhash64_udf
+
+    out = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    counts = out.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id")
+    )
+    return out.join(counts, "simhash", "left").select(
+        id_col,
+        "simhash",
+        "dup_count",
+        (F.col("dup_count") > 1).alias("is_duplicate"),
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    token_bucket_width: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set jaccard >= threshold for pairs within a block.
+
+    Blocking = given columns + an n_tokens bucket, so the self-join is
+    equi-keyed (shuffle hash join on the block key, never a cross join).
+    This is the LSH-refinement stage; at 10^12 rows the block key should
+    be the LSH bucket id itself."""
+    words = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (block_cols or [])],
+        words.alias("words"),
+        (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) / token_bucket_width)
+        .cast("long")
+        .alias("_tb"),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    block_key = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in (block_cols or [])]
+    cond = [F.col("l._tb") == F.col("r._tb"), F.col("l.id") < F.col("r.id")] + block_key
+    inter = F.size(F.array_intersect(F.col("l.words"), F.col("r.words")))
+    union = F.size(F.array_union(F.col("l.words"), F.col("r.words")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        left.join(right, cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -52,6 +52,63 @@ def exact_duplicate_scores(df: DataFrame) -> DataFrame:
     ).drop("_dup_cnt")
 
 
+def near_duplicate_scores(df: DataFrame, params: dict | None = None) -> DataFrame:
+    """Add near_duplicates_score / is_near_duplicates_issue /
+    _is_canonical_near_duplicates via MinHash-LSH band buckets.
+
+    Semantics mirror the reference (duplicate_issue_manager.py:169-217,
+    251-256): membership = *bucket equality* (a shared LSH band), not a
+    distance join and no connected components; score = 1/k for the
+    largest qualifying bucket the row belongs to, else 1.0; flag =
+    score != 1. The reference's near-minus-exact set removal (J4)
+    becomes: a bucket qualifies only if it spans >= 2 distinct sha256
+    values — a bucket that is exactly an exact-duplicate group is not a
+    near-duplicate finding.
+
+    Scale notes: the UDF emits 32 band keys per row; explode → groupBy
+    (map-side partial agg) → inner join back against only the qualifying
+    buckets (rare ⇒ small, AQE turns it into a broadcast join) → per-key
+    max. No window over a potentially-mega bucket partition.
+    """
+    params = params or {}
+    max_chars = int(params.get("max_chars", 65536))
+    from cleanvision_spark.functions.hashing import minhash_bands_udf
+
+    if "sha256" not in df.columns:
+        df = with_sha256(df)
+    key = F.struct(*[F.col(c) for c in KEY_COLS])
+    banded = df.withColumn(
+        "_bands", minhash_bands_udf(F.substring(F.col("content"), 1, max_chars))
+    )
+    ex = banded.select(*KEY_COLS, "sha256", F.explode("_bands").alias("_bh"))
+    buckets = ex.groupBy("_bh").agg(
+        F.count(F.lit(1)).alias("_bcnt"),
+        F.count_distinct("sha256").alias("_nsha"),
+        F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_bmin"),
+    )
+    qual = buckets.filter(F.col("_nsha") >= 2)
+    per_row = (
+        ex.join(qual, "_bh")
+        .groupBy(*KEY_COLS)
+        .agg(F.max("_bcnt").alias("_nk"), F.min("_bmin").alias("_nmin"))
+    )
+    out = banded.drop("_bands").join(per_row, KEY_COLS, "left")
+    return (
+        out.withColumn(
+            score_col("near_duplicates"),
+            F.when(F.col("_nk").isNotNull(), F.lit(1.0) / F.col("_nk")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        .withColumn(flag_col("near_duplicates"), F.col("_nk").isNotNull())
+        .withColumn(
+            "_is_canonical_near_duplicates",
+            F.col("_nk").isNull() | (F.col("_nmin") == key),
+        )
+        .drop("_nk", "_nmin")
+    )
+
+
 def exact_duplicate_sets(df: DataFrame) -> DataFrame:
     """Duplicate sets: one row per sha256 with >= 2 members.
 

@@ -1,0 +1,83 @@
+"""Text-analysis operators for training-data pipelines over generic
+document tables: token counting, quality scoring, language-marker
+heuristics, document fingerprinting.
+
+All pure Catalyst expressions except the fingerprint (blake2b UDF) —
+these run at scan speed with whole-stage codegen and full pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed English stopword list for the stopword-ratio quality signal
+STOPWORDS = (
+    "the a an and or of to in is are was were be been for on with as by "
+    "at it this that from not have has had but if then else when while"
+).split()
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + regex 'wordish' tokens + char count."""
+    trimmed = F.trim(F.col(text_col))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    word_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        ws_tokens.cast("long").alias("n_tokens_ws"),
+        word_tokens.cast("long").alias("n_tokens_word"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Composite quality score from length / stopword ratio / mean word
+    length / alpha ratio — the classic heuristic quality filter."""
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    tokens = F.split(trimmed, r"\s+")
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(tokens))
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(F.split(F.lower(trimmed), r"\s+")), stop_arr))
+    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.least(n_tokens, F.lit(len(STOPWORDS))).cast("double")
+    )
+    mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_chars.cast("double") / n_tokens.cast("double")
+    )
+    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+        / n_chars.cast("double")
+    )
+    # each component in [0,1]; word-length sweet spot ~[3, 12]
+    len_score = F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0))
+    wl_score = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.2))
+    quality = F.round(
+        (len_score + wl_score + stop_ratio + alpha_ratio) / F.lit(4.0), 6
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    from cleanvision_spark.functions.hashing import fingerprint64_udf
+
+    return df.select(
+        F.col(id_col), fingerprint64_udf(F.col(text_col)).alias("fingerprint")
+    )

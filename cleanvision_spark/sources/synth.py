@@ -274,6 +274,26 @@ def _compute_labels(corpus: pd.DataFrame, intended: list[dict]) -> pd.DataFrame:
         corpus["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
     ).transform("min")
 
+    # near-duplicates: python mirror of the MinHash-LSH bucket logic
+    # (operators/duplicates.py near_duplicate_scores)
+    from cleanvision_spark.functions.hashing import minhash_bands
+
+    max_chars = p["near_duplicates"]["max_chars"]
+    shas = corpus["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    buckets: dict[int, list[int]] = {}
+    for i, content in enumerate(corpus["content"]):
+        for bh in minhash_bands(content[:max_chars]):
+            buckets.setdefault(bh, []).append(i)
+    near_k: dict[int, int] = {}
+    near_min: dict[int, tuple] = {}
+    for bh, idxs in buckets.items():
+        if len({shas.iloc[i] for i in idxs}) < 2:
+            continue
+        mk = min(canon_key.iloc[i] for i in idxs)
+        for i in idxs:
+            near_k[i] = max(near_k.get(i, 0), len(idxs))
+            near_min[i] = min(near_min.get(i, mk), mk)
+
     for i, row in corpus.iterrows():
         content = row["content"]
         st = _line_stats(content)
@@ -299,11 +319,14 @@ def _compute_labels(corpus: pd.DataFrame, intended: list[dict]) -> pd.DataFrame:
         sz_score = round(1.0 - min(max(abs(sizes[i] - mid) / norm, 0.0), 1.0), 9)
         flags["odd_size"] = sz_score < odd_thr
         flags["exact_duplicates"] = bool(dup_count.iloc[i] > 1)
-        flags["near_duplicates"] = False  # set by MinHash milestone
+        flags["near_duplicates"] = i in near_k
         is_canon = canon_key.iloc[i] == min_key_per_group.iloc[i]
+        is_canon_near = (i not in near_k) or (canon_key.iloc[i] == near_min[i])
 
         quality_drop = any(flags[k] for k in DROP_ISSUES)
-        dup_drop = flags["exact_duplicates"] and not is_canon
+        dup_drop = (flags["exact_duplicates"] and not is_canon) or (
+            flags["near_duplicates"] and not is_canon_near
+        )
         keep = not (quality_drop or dup_drop)
 
         scrubbed = scrub_text_py(content)

@@ -1,0 +1,74 @@
+"""ANN + text-analysis operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _qvec(emb):
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    from cleanvision_spark.operators.ann import brute_force_topk
+
+    q = np.array(_qvec(emb))
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist())
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims.round(6)))
+    expected = pdf["vec_id"].to_numpy()[order][:10].tolist()
+    got = [r["vec_id"] for r in brute_force_topk(emb, q.tolist(), k=10).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_recall(emb):
+    from cleanvision_spark.operators.ann import brute_force_topk, lsh_topk
+
+    q = _qvec(emb)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(emb, q, k=10).collect()}
+    # the query itself always shares its own buckets; expect decent recall
+    recall = len(exact & approx) / 10
+    assert 0 in approx
+    assert recall >= 0.3, f"LSH recall {recall}"
+
+
+def test_lsh_deterministic(emb):
+    from cleanvision_spark.operators.ann import lsh_topk
+
+    q = _qvec(emb)
+    a = [(r["vec_id"], r["cosine"]) for r in lsh_topk(emb, q, k=10).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in lsh_topk(emb, q, k=10).collect()]
+    assert a == b
+
+
+def test_dedup_normalized_semantics(spark):
+    from cleanvision_spark.operators.dedup import dedup_normalized
+
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_normalized(df, "doc_id").collect()}
+    assert out[1]["is_duplicate"] and out[2]["is_duplicate"]
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[3]["dedup_score"] == 1.0
+
+
+def test_quality_and_tokens(spark):
+    from cleanvision_spark.operators.textqc import quality_scores, token_counts
+
+    rows = [(1, "the cat sat on the mat with a hat and a bat for it"), (2, "zzzz"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tc = {r["doc_id"]: r for r in token_counts(df, "doc_id").collect()}
+    assert tc[1]["n_tokens_ws"] == 14
+    assert tc[3]["n_tokens_ws"] == 0
+    qs = {r["doc_id"]: r for r in quality_scores(df, "doc_id").collect()}
+    assert qs[1]["quality_score"] > qs[2]["quality_score"]
+    assert qs[1]["stopword_ratio"] > 0.3

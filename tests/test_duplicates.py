@@ -34,6 +34,41 @@ def test_exact_duplicate_scores(spark):
     assert abs(rows["w.py"]["exact_duplicates_score"] - 1 / 3) < 1e-12
 
 
+def test_near_duplicates_lsh(spark):
+    from cleanvision_spark.operators.duplicates import near_duplicate_scores
+
+    base = "\n".join(f"line tok{i} alpha beta gamma delta value{i}" for i in range(60))
+    near = base.replace("value7", "valueX")  # one token of ~420
+    rows = [
+        ("o/a", "base.py", "c1", "python", base),
+        ("o/b", "near.py", "c2", "python", near),
+        ("o/c", "other.py", "c3", "python", "totally different words entirely\n" * 40),
+        ("o/d", "exact1.py", "c4", "python", "same exact file content here\n" * 30),
+        ("o/e", "exact2.py", "c5", "python", "same exact file content here\n" * 30),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    out = {r["path"]: r for r in near_duplicate_scores(df).collect()}
+    assert out["base.py"]["is_near_duplicates_issue"] is True
+    assert out["near.py"]["is_near_duplicates_issue"] is True
+    assert out["base.py"]["near_duplicates_score"] == 0.5
+    assert out["other.py"]["is_near_duplicates_issue"] is False
+    assert out["other.py"]["near_duplicates_score"] == 1.0
+    # J4: exact-duplicate pair is not a near-dup finding (single sha bucket)
+    assert out["exact1.py"]["is_near_duplicates_issue"] is False
+    # canonical member = min key
+    assert out["base.py"]["_is_canonical_near_duplicates"] is True
+    assert out["near.py"]["_is_canonical_near_duplicates"] is False
+
+
+def test_minhash_determinism():
+    from cleanvision_spark.functions.hashing import minhash_bands, minhash_signature
+
+    s = "def f(x):\n    return x + 1\n" * 20
+    assert minhash_bands(s) == minhash_bands(s)
+    assert (minhash_signature(s) == minhash_signature(s)).all()
+    assert minhash_bands(s) != minhash_bands(s + "extra tokens here now")
+
+
 def test_exact_duplicate_sets(spark):
     df = spark.createDataFrame(ROWS, CORPUS_SCHEMA)
     sets = exact_duplicate_sets(df).collect()

@@ -15,7 +15,7 @@ from cleanvision_spark.plans.pipeline import quality_filter
 from cleanvision_spark.schema import CORPUS_SCHEMA
 from cleanvision_spark.sources.synth import ISSUES, generate_corpus
 
-IMPLEMENTED = [i for i in ISSUES if i != "near_duplicates"]
+IMPLEMENTED = list(ISSUES)
 
 
 @pytest.fixture(scope="module")
@@ -67,12 +67,20 @@ def test_planted_exemplars_flagged(golden):
         ("src/giant.py", "odd_size"),
         ("src/dup_a.py", "exact_duplicates"),
         ("src/dup_b.py", "exact_duplicates"),
+        ("src/near_a.py", "near_duplicates"),
+        ("src/near_b.py", "near_duplicates"),
     ]:
         assert by_path.loc[path, f"is_{issue}_issue"], f"{path} not {issue}"
-    # canonical dup member kept, the other dropped
+    # canonical dup member kept, the other dropped (exact and near)
     assert bool(by_path.loc["src/dup_a.py", "keep"]) != bool(
         by_path.loc["src/dup_b.py", "keep"]
     )
+    assert bool(by_path.loc["src/near_a.py", "keep"]) != bool(
+        by_path.loc["src/near_b.py", "keep"]
+    )
+    # J4 semantics: an exact-duplicate pair is NOT a near-duplicate finding
+    assert not by_path.loc["src/dup_a.py", "is_near_duplicates_issue"]
+    assert not by_path.loc["src/dup_b.py", "is_near_duplicates_issue"]
 
 
 def test_scrub_values(golden):
