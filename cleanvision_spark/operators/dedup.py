@@ -49,12 +49,15 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     Same plan shape as operators/duplicates.near_duplicate_scores but for
     generic tables (no sha256 distinctness requirement — any shared
     bucket of >= 2 rows counts)."""
+    from pyspark import StorageLevel
+
     from cleanvision_spark.functions.hashing import minhash_bands_udf
 
-    banded = df.select(
-        F.col(id_col), minhash_bands_udf(F.col(text_col)).alias("_bands")
-    )
-    ex = banded.select(id_col, F.explode("_bands").alias("_bh"))
+    # persisted so the signature UDF runs once (two consumers below)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(minhash_bands_udf(F.col(text_col))).alias("_bh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = (
         ex.groupBy("_bh")
         .agg(F.count(F.lit(1)).alias("_bcnt"), F.min(id_col).alias("_bmin"))

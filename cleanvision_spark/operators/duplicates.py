@@ -52,7 +52,9 @@ def exact_duplicate_scores(df: DataFrame) -> DataFrame:
     ).drop("_dup_cnt")
 
 
-def near_duplicate_scores(df: DataFrame, params: dict | None = None) -> DataFrame:
+def near_duplicate_scores(
+    df: DataFrame, params: dict | None = None, bands_col: str | None = None
+) -> DataFrame:
     """Add near_duplicates_score / is_near_duplicates_issue /
     _is_canonical_near_duplicates via MinHash-LSH band buckets.
 
@@ -72,15 +74,24 @@ def near_duplicate_scores(df: DataFrame, params: dict | None = None) -> DataFram
     """
     params = params or {}
     max_chars = int(params.get("max_chars", 65536))
+    from pyspark import StorageLevel
+
     from cleanvision_spark.functions.hashing import minhash_bands_udf
 
     if "sha256" not in df.columns:
         df = with_sha256(df)
     key = F.struct(*[F.col(c) for c in KEY_COLS])
-    banded = df.withColumn(
-        "_bands", minhash_bands_udf(F.substring(F.col("content"), 1, max_chars))
-    )
-    ex = banded.select(*KEY_COLS, "sha256", F.explode("_bands").alias("_bh"))
+    # the exploded band table feeds two consumers (bucket agg + join back);
+    # persist it so the MinHash UDF runs exactly once per row — at cluster
+    # scale this intermediate is the checkpointed signature table
+    # (bands_col points at it when resuming from a checkpoint).
+    if bands_col is not None:
+        band_expr = F.col(bands_col)
+    else:
+        band_expr = minhash_bands_udf(F.substring(F.col("content"), 1, max_chars))
+    ex = (
+        df.select(*KEY_COLS, "sha256", F.explode(band_expr).alias("_bh"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = ex.groupBy("_bh").agg(
         F.count(F.lit(1)).alias("_bcnt"),
         F.count_distinct("sha256").alias("_nsha"),
@@ -92,7 +103,7 @@ def near_duplicate_scores(df: DataFrame, params: dict | None = None) -> DataFram
         .groupBy(*KEY_COLS)
         .agg(F.max("_bcnt").alias("_nk"), F.min("_bmin").alias("_nmin"))
     )
-    out = banded.drop("_bands").join(per_row, KEY_COLS, "left")
+    out = df.join(per_row, KEY_COLS, "left")
     return (
         out.withColumn(
             score_col("near_duplicates"),

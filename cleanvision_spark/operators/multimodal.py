@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The decode step is STUBBED (PIL/librosa/ffmpeg are not in this
+container): ``decode_media`` raises NotImplementedError unless the
+optional library is importable. Everything Spark-side is real and
+tested — the schema, the mapInPandas batch plumbing, partitioning, and
+a deterministic fake feature extractor (byte statistics + a blake2b-
+seeded pseudo-embedding) standing in where the real decoder would run.
+
+Scale notes: mapInPandas streams Arrow batches through Python without
+materializing the partition; binary payloads never hit the driver; the
+feature schema is fixed so downstream joins/ANN run on columnar data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_FIELDS = [
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("byte_entropy", T.DoubleType(), True),
+    T.StructField("content_hash", T.StringType(), True),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+]
+FEATURE_SCHEMA = T.StructType(FEATURE_FIELDS)
+
+EMBED_DIM = 16
+
+
+def _byte_entropy(b: bytes) -> float:
+    if not b:
+        return 0.0
+    arr = np.frombuffer(b, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / len(arr)
+    return float(-(p * np.log2(p)).sum())
+
+
+def _fake_embedding(b: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: unit-norm vector seeded
+    by the payload digest. Replace with the real model's output; the
+    Spark plumbing (schema, batch shape) is identical."""
+    seed = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(EMBED_DIM)
+    v = v / max(np.linalg.norm(v), 1e-9)
+    return [float(x) for x in v]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "byte_entropy": payloads.map(
+                        lambda b: _byte_entropy(b) if b is not None else 0.0
+                    ),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "embedding": payloads.map(
+                        lambda b: _fake_embedding(b or b"")
+                    ),
+                }
+            )
+
+    return df.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def decode_media(df: DataFrame, target_size: tuple[int, int] = (64, 64)) -> DataFrame:
+    """Real decode/resize — requires PIL, which this container lacks."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "media decode requires pillow; install it on the cluster and the "
+            "mapInPandas plumbing in extract_features carries the decoded "
+            "arrays with the same batch shape"
+        ) from exc
+    raise NotImplementedError("real decoder intentionally not implemented here")
+
+
+def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling stub: emits (media_id, frame_idx) rows with
+    deterministic fake frame hashes — the explode-shaped plumbing a real
+    ffmpeg-based sampler would use."""
+    from pyspark.sql import functions as F
+
+    n_frames = (
+        F.coalesce(
+            F.element_at(F.col("meta"), F.lit("duration_ms")).cast("long"), F.lit(0)
+        )
+        / every_ms
+    ).cast("int")
+    return (
+        df.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
+        .withColumn(
+            "frame_hash",
+            F.sha2(
+                F.concat(
+                    F.col("payload"),
+                    F.encode(F.col("frame_idx").cast("string"), "UTF-8"),
+                ),
+                256,
+            ),
+        )
+        .select("media_id", "frame_idx", "frame_hash")
+    )

@@ -1,0 +1,172 @@
+"""Per-partition checkpointed lineage + metrics — resumable runs.
+
+North-rule requirement (no reference analog; the reference's 'reuse
+previously computed columns from info' at
+/root/reference/src/cleanvision/issue_managers/image_property_issue_manager.py:222-230
+is the coarse single-process ancestor of this).
+
+Design (two stages, split by what is per-row vs global):
+
+Stage 1 — *row stage*, the expensive part (LM surprisal, langid,
+entropy, MinHash bands, scrub hash): embarrassingly parallel, so it is
+computed per deterministic key bucket (pmod(xxhash64(keys), n_buckets))
+and each bucket is written atomically to
+``out_dir/rowstage/bucket=<i>/``. A killed run resumes by listing
+completed buckets (parquet _SUCCESS markers) and processing only the
+missing ones — no recomputation. Per-bucket metrics JSON (rows, issue
+counts, wall seconds) lands in ``out_dir/metrics/``.
+
+Global stats (odd_size IQR mid/gap) are computed ONCE over the full
+input (a cheap length-only scan) and persisted to ``out_dir/stats.json``
+before any bucket runs, so resumed runs score against the identical
+global scope (SURVEY.md §7 risk note).
+
+Stage 2 — *assembly*, the cheap global part: read the completed row
+stage (hashes and flags only — content never re-scored), run the
+duplicate groupings from the persisted sha256/band columns, odd_size
+from the persisted stats, and the keep/drop decision. Re-running
+assembly is cheap and idempotent by construction.
+
+On a real cluster the bucket loop becomes per-Iceberg-partition jobs;
+n_buckets here is small so tests can kill/resume quickly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import flag_col
+from cleanvision_spark.schema import KEY_COLS
+
+ROW_ISSUES = ["dark", "light", "odd_aspect_ratio", "low_information", "blurry", "grayscale"]
+
+
+class CheckpointedRun:
+    def __init__(self, spark: SparkSession, out_dir: str, n_buckets: int = 8):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
+
+    # ---- global stats ------------------------------------------------------
+    def _stats(self, df: DataFrame, params: dict[str, Any]) -> tuple[float, float]:
+        path = os.path.join(self.out_dir, "stats.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                s = json.load(f)
+            return s["mid_thr"], s["thr_gap"]
+        from cleanvision_spark.operators.issues import odd_size_stats
+
+        row = odd_size_stats(
+            df.withColumn("n_chars", F.length("content")), params.get("odd_size", {})
+        ).collect()[0]
+        stats = {"mid_thr": row["mid_thr"], "thr_gap": row["thr_gap"]}
+        with open(path, "w") as f:
+            json.dump(stats, f)
+        return stats["mid_thr"], stats["thr_gap"]
+
+    # ---- row stage ---------------------------------------------------------
+    def _bucket_dir(self, i: int) -> str:
+        return os.path.join(self.out_dir, "rowstage", f"bucket={i}")
+
+    def done_buckets(self) -> list[int]:
+        return [
+            i
+            for i in range(self.n_buckets)
+            if os.path.exists(os.path.join(self._bucket_dir(i), "_SUCCESS"))
+        ]
+
+    def _row_stage(self, df: DataFrame, params: dict[str, Any], i: int) -> None:
+        from cleanvision_spark.functions.hashing import minhash_bands_udf
+        from cleanvision_spark.functions.scrub import scrub_column
+        from cleanvision_spark.operators.duplicates import with_sha256
+        from cleanvision_spark.plans.pipeline import attach_issues
+
+        t0 = time.monotonic()
+        part = df.filter(
+            F.pmod(F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(self.n_buckets))
+            == i
+        )
+        scored = attach_issues(part, params, ROW_ISSUES)
+        scored = with_sha256(scored)
+        max_chars = int(params.get("near_duplicates", {}).get("max_chars", 65536))
+        scored = scored.withColumn(
+            "bands", minhash_bands_udf(F.substring(F.col("content"), 1, max_chars))
+        ).withColumn("sha256_scrubbed", F.sha2(scrub_column("content"), 256))
+        keep_cols = (
+            KEY_COLS
+            + ["lang", "n_chars"]
+            + [c for c in scored.columns if c.endswith("_score") or c.startswith("is_")]
+            + ["sha256", "bands", "sha256_scrubbed"]
+        )
+        scored.select(*keep_cols).write.mode("overwrite").parquet(self._bucket_dir(i))
+
+        counts = (
+            self.spark.read.parquet(self._bucket_dir(i))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                *[
+                    F.sum(F.col(flag_col(x)).cast("long")).alias(x)
+                    for x in ROW_ISSUES
+                ],
+            )
+            .collect()[0]
+            .asDict()
+        )
+        counts["bucket"] = i
+        counts["sec"] = round(time.monotonic() - t0, 3)
+        with open(os.path.join(self.out_dir, "metrics", f"bucket_{i}.json"), "w") as f:
+            json.dump(counts, f)
+
+    # ---- driver ------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        params: dict[str, Any],
+        max_buckets: int | None = None,
+    ) -> DataFrame | None:
+        """Process missing buckets (up to max_buckets, for kill-testing),
+        then assemble if complete. Returns the final DataFrame or None if
+        the row stage is still partial."""
+        stats = self._stats(df, params)
+        done = set(self.done_buckets())
+        todo = [i for i in range(self.n_buckets) if i not in done]
+        if max_buckets is not None:
+            todo = todo[:max_buckets]
+        for i in todo:
+            self._row_stage(df, params, i)
+        if len(self.done_buckets()) < self.n_buckets:
+            return None
+        return self.assemble(params, stats)
+
+    def assemble(
+        self, params: dict[str, Any], stats: tuple[float, float]
+    ) -> DataFrame:
+        from cleanvision_spark.operators.decision import with_exact_canonical, with_keep
+        from cleanvision_spark.operators.duplicates import (
+            exact_duplicate_scores,
+            near_duplicate_scores,
+        )
+        from cleanvision_spark.operators.issues import with_odd_size
+
+        rows = self.spark.read.parquet(os.path.join(self.out_dir, "rowstage"))
+        out = with_odd_size(rows, params.get("odd_size", {}), stats=stats)
+        out = with_exact_canonical(exact_duplicate_scores(out))
+        out = near_duplicate_scores(
+            out, params.get("near_duplicates", {}), bands_col="bands"
+        )
+        return with_keep(out)
+
+    def metrics(self) -> list[dict[str, Any]]:
+        out = []
+        mdir = os.path.join(self.out_dir, "metrics")
+        for name in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        return out

@@ -1,0 +1,90 @@
+"""Structured Streaming variants of the pipeline.
+
+The reference is batch-only (SURVEY.md §2.7); these are the Spark-native
+extensions a continuously-ingesting corpus needs:
+
+- ``stream_quality_filter``: the row-stage scoring (every per-row issue,
+  the UDFs included, plus scrub and a keep decision over row issues) as
+  a streaming query. Dataset-global state (odd_size IQR stats) is
+  *injected* from a prior batch run / checkpoint (stats.json) — exactly
+  how a production scorer pins normalization constants while streaming.
+  Duplicate detection is inherently cross-row; streams get exact-dup
+  flags via ``foreachBatch`` joining each micro-batch against a static
+  sha256 index (the batch-maintained checkpoint), not via unbounded
+  streaming state.
+- ``stream_issue_counts``: windowed issue-count metrics with a
+  processing-time column (metrics sink for a running filter job).
+- ``stream_event_window_counts``: watermarked event-time windowed agg
+  over the driver's ``events`` table shape — late data handled by the
+  watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import flag_col
+from cleanvision_spark.schema import CORPUS_SCHEMA
+
+ROW_ISSUES = ["dark", "light", "odd_aspect_ratio", "low_information", "blurry", "grayscale"]
+
+
+def stream_corpus(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def stream_quality_filter(
+    stream_df: DataFrame,
+    params: dict,
+    odd_size_stats: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Stateless per-row scoring on a stream; same expressions/UDFs as
+    the batch plan (attach_issues is plan-construction only, so it works
+    unchanged on a streaming DataFrame)."""
+    from cleanvision_spark.operators.decision import with_scrub
+    from cleanvision_spark.operators.issues import with_odd_size
+    from cleanvision_spark.plans.pipeline import attach_issues
+
+    out = attach_issues(stream_df, params, ROW_ISSUES)
+    if odd_size_stats is not None:
+        out = with_odd_size(out, params.get("odd_size", {}), stats=odd_size_stats)
+    out = with_scrub(out)
+    drop = F.lit(False)
+    issues = ROW_ISSUES + (["odd_size"] if odd_size_stats is not None else [])
+    for i in issues:
+        drop = drop | F.coalesce(F.col(flag_col(i)), F.lit(False))
+    return out.withColumn("keep", ~drop)
+
+
+def stream_issue_counts(scored: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Windowed issue-count metrics over processing time."""
+    flags = [c for c in scored.columns if c.startswith("is_")]
+    ts = scored.withColumn("_ts", F.current_timestamp())
+    return (
+        ts.withWatermark("_ts", window)
+        .groupBy(F.window("_ts", window))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[F.sum(F.col(c).cast("long")).alias(c.replace("is_", "n_")) for c in flags],
+        )
+    )
+
+
+def stream_event_window_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation (late rows beyond the
+    watermark are dropped — classic streaming semantics demo over the
+    driver's events schema)."""
+    # parquet TIMESTAMP_NTZ is not a valid event-time type; pin to UTC
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )

@@ -1,0 +1,49 @@
+"""Checkpointed-run resumability: kill mid-run, resume, identical results."""
+
+from __future__ import annotations
+
+from cleanvision_spark.config import merge_params
+from cleanvision_spark.plans.pipeline import quality_filter
+from cleanvision_spark.schema import CORPUS_SCHEMA
+from cleanvision_spark.sources.checkpoint import CheckpointedRun
+from cleanvision_spark.sources.synth import generate_corpus
+
+
+def test_checkpoint_kill_resume_equals_direct(spark, tmp_path):
+    corpus, _ = generate_corpus(n_clean=32, seed=11)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    params = merge_params(None)
+    out_dir = str(tmp_path / "ckpt")
+
+    run = CheckpointedRun(spark, out_dir, n_buckets=4)
+    # simulate a killed run: only 2 of 4 buckets complete
+    assert run.run(df, params, max_buckets=2) is None
+    assert len(run.done_buckets()) == 2
+    assert len(run.metrics()) == 2
+
+    # resume: only the missing buckets are processed
+    result = run.run(df, params)
+    assert result is not None
+    assert len(run.metrics()) == 4
+
+    # results identical to the direct (non-checkpointed) pipeline
+    direct = quality_filter(df, params)
+    flag_cols = sorted(c for c in direct.columns if c.startswith("is_"))
+    got = (
+        result.select("repo", "path", "commit", "keep", *flag_cols)
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    want = (
+        direct.select("repo", "path", "commit", "keep", *flag_cols)
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), "checkpointed result differs from direct pipeline"
+
+    # idempotent: a third run reprocesses nothing
+    before = run.done_buckets()
+    run.run(df, params)
+    assert run.done_buckets() == before and len(run.metrics()) == 4

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: mapInPandas feature extraction over binary
+payloads with the decode step stubbed (no image libs in this env)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cleanvision_spark.operators.multimodal import (
+    EMBED_DIM,
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    frame_sample_stub,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake image bytes" * 50, {"width": "64", "height": "64"}),
+        (2, "audio", b"RIFF fake wav" * 100, {"sample_rate": "16000"}),
+        (3, "video", b"\x00\x00ftyp fake mp4" * 200, {"duration_ms": "3500"}),
+        (4, "image", b"", {}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+
+
+def test_extract_features(media):
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(out) == 4
+    assert out[1]["n_bytes"] == 21 * 50
+    assert out[4]["n_bytes"] == 0 and out[4]["byte_entropy"] == 0.0
+    assert len(out[2]["embedding"]) == EMBED_DIM
+    # deterministic: same payload -> same embedding/hash
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert again[3]["content_hash"] == out[3]["content_hash"]
+    assert again[3]["embedding"] == out[3]["embedding"]
+    # unit norm
+    import math
+
+    assert abs(math.fsum(x * x for x in out[1]["embedding"]) - 1.0) < 1e-5
+
+
+def test_decode_stub_raises(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
+
+
+def test_frame_sample(media):
+    frames = frame_sample_stub(media.filter("media_id = 3")).collect()
+    assert len(frames) == 3  # 3500ms / 1000ms -> frames 0,1,2
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
+    assert len({r["frame_hash"] for r in frames}) == 3
