@@ -50,8 +50,15 @@ class CodeLab:
                 self.issues.select(*prev_cols), ["repo", "path", "commit"], "left"
             )
         self.issues = issues
-        self.issue_summary = summary
+        # recomputed issue types overwrite, others kept (imagelab.py:305-313)
+        from cleanvision_spark.operators.summary import merge_summaries, property_statistics
+        from cleanvision_spark.operators.properties import CHEAP_PROPS
+
+        self.issue_summary = merge_summaries(self.issue_summary, summary)
         self.info.update(info)
+        self.info.setdefault("statistics", {}).update(
+            property_statistics(issues, CHEAP_PROPS + ["entropy"])
+        )
         self._issue_types = sorted(
             set(self._issue_types) | set(info.get("issue_types", []))
         )

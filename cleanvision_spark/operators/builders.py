@@ -67,10 +67,16 @@ def build_light(df: DataFrame, params: dict[str, Any]) -> DataFrame:
 def build_grayscale(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     """grayscale = language mismatch: predicted lang != declared lang.
     Binary 0/1 score + inversion flag like the original (P2,
-    image_property.py:327-341)."""
+    image_property.py:327-341). A declared lang the model was not
+    trained on cannot be assessed — score 1.0 (no finding)."""
+    from cleanvision_spark.functions.langid import LANGS
+
+    known = F.col("lang").isin(LANGS)
     return df.withColumn(
         score_col("grayscale"),
-        F.when(F.col("lang_pred") == F.col("lang"), F.lit(1.0)).otherwise(F.lit(0.0)),
+        F.when(~known | (F.col("lang_pred") == F.col("lang")), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
     ).withColumn(flag_col("grayscale"), I.inversion_flag("grayscale"))
 
 

@@ -50,6 +50,57 @@ def prevalence_filter(
     )
 
 
+def merge_summaries(prev: DataFrame | None, new: DataFrame) -> DataFrame:
+    """Recomputed issue types overwrite previous summary rows; others are
+    kept (imagelab.py:305-313 replace+concat semantics)."""
+    if prev is None:
+        return new
+    kept = prev.join(new.select("issue_type"), "issue_type", "left_anti")
+    return kept.unionByName(new).orderBy(
+        F.desc("num_files"), F.asc("issue_type")
+    )
+
+
+def property_statistics(df: DataFrame, props: list[str]) -> dict[str, dict[str, float]]:
+    """describe()-style stats per raw property, one aggregation pass —
+    the info['statistics'] analog (image_property_issue_manager.py:252-256).
+    Returns a small driver-side dict (count/mean/std/min/q1/median/q3/max)."""
+    present = [p for p in props if p in df.columns]
+    if not present:
+        return {}
+    aggs = []
+    for p in present:
+        c = F.col(p).cast("double")
+        aggs += [
+            F.count(c).alias(f"{p}__count"),
+            F.avg(c).alias(f"{p}__mean"),
+            F.stddev(c).alias(f"{p}__std"),
+            F.min(c).alias(f"{p}__min"),
+            F.percentile(c, F.lit(0.25)).alias(f"{p}__q1"),
+            F.percentile(c, F.lit(0.5)).alias(f"{p}__median"),
+            F.percentile(c, F.lit(0.75)).alias(f"{p}__q3"),
+            F.max(c).alias(f"{p}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out: dict[str, dict[str, float]] = {p: {} for p in present}
+    for k, v in row.items():
+        p, stat = k.rsplit("__", 1)
+        out[p][stat] = v
+    return out
+
+
+def select_issue_columns(df: DataFrame, prefix: str) -> DataFrame:
+    """Column projection by prefix (P7,
+    image_property_issue_manager.py:258-264)."""
+    keys = [c for c in ("repo", "path", "commit") if c in df.columns]
+    return df.select(*keys, *[c for c in df.columns if c.startswith(prefix)])
+
+
+def random_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic random exemplar sample (T3, imagelab.py:643-658)."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
 def top_k_severe(df: DataFrame, issue: str, k: int = 4, key_cols: list[str] | None = None) -> DataFrame:
     """k most-severe flagged rows for one issue (imagelab.py:498-506).
 

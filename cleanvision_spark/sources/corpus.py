@@ -76,6 +76,32 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_from_keys(
+    spark: SparkSession,
+    keys: list[tuple[str, str, str]],
+    base: DataFrame,
+    ignore_missing: bool = False,
+) -> DataFrame:
+    """Explicit key-list source (S2, reference fsspec_dataset.py:37-49):
+    duplicates in the list raise; missing keys raise unless
+    ``ignore_missing`` (then dropped) — semantics mirrored from the
+    reference's filepath-list constructor, realized as a broadcast
+    semi-join against the corpus table."""
+    if len(set(keys)) != len(keys):
+        raise ValueError("duplicate keys in list")  # fsspec_dataset.py:39-42
+    from pyspark.sql import functions as F
+
+    wanted = spark.createDataFrame(keys, "repo string, path string, commit string")
+    out = base.join(F.broadcast(wanted), ["repo", "path", "commit"], "inner")
+    if not ignore_missing:
+        n = out.count()
+        if n != len(keys):
+            raise FileNotFoundError(
+                f"{len(keys) - n} of {len(keys)} keys missing from corpus"
+            )
+    return out
+
+
 def salt_skewed_repos(
     df: DataFrame, hot_repos: list[str], buckets: int = 32
 ) -> DataFrame:

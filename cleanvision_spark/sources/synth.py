@@ -315,7 +315,11 @@ def _compute_labels(corpus: pd.DataFrame, intended: list[dict]) -> pd.DataFrame:
             min(max(1.0 - math.exp(-p["blurry"]["normalizing_factor"] * lpk * 100.0), 0.0), 1.0), 9
         )
         flags["blurry"] = blur < p["blurry"]["threshold"]
-        flags["grayscale"] = predict_lang(content) != row["lang"]
+        from cleanvision_spark.functions.langid import LANGS as KNOWN_LANGS
+
+        flags["grayscale"] = (
+            row["lang"] in KNOWN_LANGS and predict_lang(content) != row["lang"]
+        )
         sz_score = round(1.0 - min(max(abs(sizes[i] - mid) / norm, 0.0), 1.0), 9)
         flags["odd_size"] = sz_score < odd_thr
         flags["exact_duplicates"] = bool(dup_count.iloc[i] > 1)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Production entry point — the spark-submit surface of the engine.
+
+Cluster usage (north rule):
+
+    zip -r cleanvision_spark.zip cleanvision_spark/
+    spark-submit \\
+      --py-files cleanvision_spark.zip \\
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+      --conf spark.sql.adaptive.enabled=true \\
+      --conf spark.sql.adaptive.skewJoin.enabled=true \\
+      --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
+      scripts/run_quality_filter.py \\
+      --input catalog.db.code_files --langs python,go \\
+      --checkpoint s3://bucket/ckpt/run1 --output s3://bucket/out/run1 \\
+      --buckets 4096
+
+Local smoke:
+
+    python scripts/run_quality_filter.py \\
+      --input /root/testdata/sf0.001 --from-documents \\
+      --checkpoint /tmp/qf_ckpt --output /tmp/qf_out
+
+The job is resumable: re-submitting with the same --checkpoint skips
+completed buckets (per-partition lineage, cleanvision_spark/sources/
+checkpoint.py) and re-runs only the cheap assembly stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="Iceberg table or parquet dir")
+    ap.add_argument("--from-documents", action="store_true",
+                    help="input is a testdata sf dir; adapt documents.parquet")
+    ap.add_argument("--langs", default=None, help="comma-separated lang pruning filter")
+    ap.add_argument("--repo-prefix", default=None)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--params-json", default=None, help="issue param overrides")
+    args = ap.parse_args()
+
+    from cleanvision_spark.config import merge_params
+    from cleanvision_spark.session import get_spark
+    from cleanvision_spark.sources.checkpoint import CheckpointedRun
+    from cleanvision_spark.sources.corpus import corpus_from_documents, read_corpus
+
+    spark = get_spark("quality_filter")
+    if args.from_documents:
+        df = corpus_from_documents(spark, args.input)
+    else:
+        df = read_corpus(
+            spark,
+            args.input,
+            langs=args.langs.split(",") if args.langs else None,
+            repo_prefix=args.repo_prefix,
+        )
+    params = merge_params(json.loads(args.params_json) if args.params_json else None)
+
+    run = CheckpointedRun(spark, args.checkpoint, n_buckets=args.buckets)
+    result = run.run(df, params)
+    if result is None:  # pragma: no cover - only on interrupted runs
+        print(json.dumps({"status": "partial", "done_buckets": run.done_buckets()}))
+        return
+    result.write.mode("overwrite").parquet(args.output)
+    kept = result.filter("keep").count()
+    total = result.count()
+    metrics = {"status": "complete", "rows": total, "kept": kept,
+               "dropped": total - kept, "bucket_metrics": run.metrics()}
+    with open(os.path.join(args.checkpoint, "run_summary.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps({k: v for k, v in metrics.items() if k != "bucket_metrics"}))
+
+
+if __name__ == "__main__":
+    main()

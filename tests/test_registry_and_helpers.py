@@ -1,0 +1,88 @@
+"""Custom-issue registration e2e (M9, mirrors
+/root/reference/tests/test_run.py:308-323 + the tutorial manager at
+docs/source/tutorials/custom_issue_manager.py) and the small report-side
+helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import merge_params
+from cleanvision_spark.plans.pipeline import attach_issues
+from cleanvision_spark.registry import _REGISTRY, register_issue
+from cleanvision_spark.schema import CORPUS_SCHEMA
+from cleanvision_spark.sources.corpus import corpus_from_keys
+from cleanvision_spark.sources.synth import generate_corpus
+
+
+def test_custom_issue_registration(spark):
+    # custom issue analogous to the tutorial's mean-intensity example:
+    # score = fraction of non-TODO lines, flag files with TODO density
+    @register_issue("todo_density", kind="row")
+    def build_todo(df, params):
+        n_todo = F.size(F.split(F.col("content"), "TODO")) - 1
+        score = F.lit(1.0) - F.least(
+            n_todo.cast("double") / F.greatest(F.col("n_lines"), F.lit(1)), F.lit(1.0)
+        )
+        return df.withColumn("todo_density_score", F.round(score, 9)).withColumn(
+            "is_todo_density_issue", F.col("todo_density_score") < 0.5
+        )
+
+    try:
+        rows = [
+            ("o/a", "a.py", "c", "python", "# TODO x\n# TODO y\n# TODO z\nprint(1)\n"),
+            ("o/b", "b.py", "c", "python", "print(2)\nprint(3)\n"),
+        ]
+        df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+        out = attach_issues(df, merge_params(None), ["todo_density"])
+        got = {r["path"]: r for r in out.collect()}
+        assert got["a.py"]["is_todo_density_issue"] is True
+        assert got["b.py"]["is_todo_density_issue"] is False
+    finally:
+        _REGISTRY.pop("todo_density", None)
+
+
+def test_corpus_from_keys(spark):
+    corpus, _ = generate_corpus(n_clean=8, seed=3)
+    base = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    keys = [tuple(r) for r in corpus[["repo", "path", "commit"]].values[:3]]
+    out = corpus_from_keys(spark, keys, base)
+    assert out.count() == 3
+    with pytest.raises(ValueError):
+        corpus_from_keys(spark, keys + [keys[0]], base)
+    with pytest.raises(FileNotFoundError):
+        corpus_from_keys(spark, keys + [("nope", "x", "y")], base)
+    assert corpus_from_keys(spark, keys + [("nope", "x", "y")], base, ignore_missing=True).count() == 3
+
+
+def test_summary_helpers(spark):
+    from cleanvision_spark.operators.summary import (
+        merge_summaries,
+        property_statistics,
+        random_sample,
+        select_issue_columns,
+    )
+
+    prev = spark.createDataFrame(
+        [("dark", 5), ("light", 2)], "issue_type string, num_files long"
+    )
+    new = spark.createDataFrame([("dark", 7)], "issue_type string, num_files long")
+    merged = {r["issue_type"]: r["num_files"] for r in merge_summaries(prev, new).collect()}
+    assert merged == {"dark": 7, "light": 2}
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", 10.0, True)],
+        "repo string, path string, commit string, dark_score double, is_dark_issue boolean",
+    )
+    proj = select_issue_columns(df, "dark")
+    assert proj.columns == ["repo", "path", "commit", "dark_score"]
+
+    stats = property_statistics(
+        spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "n_chars double"), ["n_chars"]
+    )
+    assert stats["n_chars"]["mean"] == 2.0 and stats["n_chars"]["median"] == 2.0
+
+    s1 = [r["n_chars"] for r in random_sample(spark.range(100).withColumnRenamed("id", "n_chars"), 5).collect()]
+    s2 = [r["n_chars"] for r in random_sample(spark.range(100).withColumnRenamed("id", "n_chars"), 5).collect()]
+    assert s1 == s2 and len(s1) == 5
