@@ -95,6 +95,8 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
 
     def t(name, fn):
         nonlocal n_rows
+        fn()  # warm run: JIT/codegen for this exact plan
+        spark.catalog.clearCache()  # no cache carryover into the timed run
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)

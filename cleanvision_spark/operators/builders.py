@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from cleanvision_spark.config import flag_col, score_col
 from cleanvision_spark.operators import issues as I
-from cleanvision_spark.operators.duplicates import exact_duplicate_scores
 from cleanvision_spark.registry import register_issue
 
 
@@ -87,9 +86,9 @@ def build_odd_size(df: DataFrame, params: dict[str, Any]) -> DataFrame:
 
 @register_issue("exact_duplicates", kind="group")
 def build_exact_duplicates(df: DataFrame, params: dict[str, Any]) -> DataFrame:
-    from cleanvision_spark.operators.decision import with_exact_canonical
+    from cleanvision_spark.operators.duplicates import exact_duplicates_full
 
-    return with_exact_canonical(exact_duplicate_scores(df))
+    return exact_duplicates_full(df)
 
 
 @register_issue("near_duplicates", kind="group")

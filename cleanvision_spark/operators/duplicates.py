@@ -120,6 +120,31 @@ def near_duplicate_scores(
     )
 
 
+def exact_duplicates_full(df: DataFrame) -> DataFrame:
+    """Score + flag + canonical marker in ONE groupBy on sha256.
+
+    Count and min-key are computed in the same aggregation (one shuffle,
+    one join) — separate exact_duplicate_scores + with_exact_canonical
+    passes cost an extra scan, shuffle and join at scale.
+    """
+    if "sha256" not in df.columns:
+        df = with_sha256(df)
+    key = F.struct(*[F.col(c) for c in KEY_COLS])
+    agg = df.groupBy("sha256").agg(
+        F.count(F.lit(1)).alias("_dup_cnt"),
+        F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+    )
+    out = df.join(agg, "sha256", "left")
+    return (
+        out.withColumn(
+            score_col("exact_duplicates"), F.lit(1.0) / F.col("_dup_cnt")
+        )
+        .withColumn(flag_col("exact_duplicates"), F.col("_dup_cnt") > 1)
+        .withColumn("_is_canonical_exact_duplicates", key == F.col("_canon_key"))
+        .drop("_dup_cnt", "_canon_key")
+    )
+
+
 def exact_duplicate_sets(df: DataFrame) -> DataFrame:
     """Duplicate sets: one row per sha256 with >= 2 members.
 

@@ -148,16 +148,16 @@ class CheckpointedRun:
     def assemble(
         self, params: dict[str, Any], stats: tuple[float, float]
     ) -> DataFrame:
-        from cleanvision_spark.operators.decision import with_exact_canonical, with_keep
+        from cleanvision_spark.operators.decision import with_keep
         from cleanvision_spark.operators.duplicates import (
-            exact_duplicate_scores,
+            exact_duplicates_full,
             near_duplicate_scores,
         )
         from cleanvision_spark.operators.issues import with_odd_size
 
         rows = self.spark.read.parquet(os.path.join(self.out_dir, "rowstage"))
         out = with_odd_size(rows, params.get("odd_size", {}), stats=stats)
-        out = with_exact_canonical(exact_duplicate_scores(out))
+        out = exact_duplicates_full(out)
         out = near_duplicate_scores(
             out, params.get("near_duplicates", {}), bands_col="bands"
         )
