@@ -98,6 +98,53 @@ def dedup_simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     )
 
 
+def dedup_embedding_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold within blocks.
+
+    ``block_col=None`` blocks by random-hyperplane LSH buckets (the
+    scale path: candidates share >= 1 of N_TABLES sign-hash buckets, so
+    the self-join is equi-keyed on bucket id — never a cross join).
+    Passing an explicit block column (e.g. a label/shard) gives the
+    exact-within-block variant used for the SQL oracle.
+    """
+    from cleanvision_spark.operators.ann import cosine_expr, lsh_buckets_udf
+
+    if block_col is None:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(lsh_buckets_udf(F.col(vec_col))).alias("_blk"),
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col(block_col).alias("_blk"),
+        )
+    left, right = base.alias("l"), base.alias("r")
+    sim = cosine_expr(F.col("l.vec"), F.col("r.vec"))
+    pairs = (
+        left.join(
+            right,
+            [F.col("l._blk") == F.col("r._blk"), F.col("l.id") < F.col("r.id")],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # LSH blocking can emit the same pair from several tables
+    return pairs.distinct()
+
+
 def jaccard_pairs_blocked(
     df: DataFrame,
     id_col: str,

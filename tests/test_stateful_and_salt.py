@@ -1,0 +1,75 @@
+"""Stateful streaming accumulator + skew-salting tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_running_user_totals(spark, tmp_path):
+    from cleanvision_spark.streaming.stateful import running_user_totals
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream.select("user_id", "value"))
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user must equal the batch ground truth
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM user_totals
+        ) WHERE rn = 1
+        """
+    ).toPandas().set_index("user_id")
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(want)
+    for uid, row in want.iterrows():
+        assert got.loc[uid, "n_events"] == row["n"]
+        assert abs(got.loc[uid, "total_value"] - row["v"]) < 1e-6
+
+
+def test_salt_skewed_repos(spark):
+    from cleanvision_spark.schema import CORPUS_SCHEMA
+    from cleanvision_spark.sources.corpus import salt_skewed_repos
+    from cleanvision_spark.sources.synth import generate_corpus
+
+    corpus, _ = generate_corpus(n_clean=60, seed=9)  # org0/repo0 holds ~20%
+    df = salt_skewed_repos(
+        spark.createDataFrame(corpus, CORPUS_SCHEMA), ["org0/repo0"], buckets=4
+    )
+    # hot repo spread over multiple salt values; cold repos all salt 0
+    hot = df.filter("repo = 'org0/repo0'").select("repo_salt").distinct().count()
+    cold = df.filter("repo != 'org0/repo0'").select("repo_salt").distinct().collect()
+    assert hot >= 2
+    assert [r["repo_salt"] for r in cold] == [0]
+    # deterministic: same salt on recompute (hash of path, not random)
+    a = {(r["path"], r["repo_salt"]) for r in df.select("path", "repo_salt").collect()}
+    b = {(r["path"], r["repo_salt"]) for r in df.select("path", "repo_salt").collect()}
+    assert a == b
+    # two-phase agg over (repo, salt) then repo gives the same totals
+    two_phase = (
+        df.groupBy("repo", "repo_salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("repo")
+        .agg(F.sum("c").alias("n"))
+    )
+    direct = df.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, two_phase.collect())) == sorted(map(tuple, direct.collect()))
