@@ -92,6 +92,72 @@ def lsh_buckets_udf(vec: pd.Series) -> pd.Series:
     return pd.Series(signs_for(mat).tolist())
 
 
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    sample: int = 1024,
+    iters: int = 10,
+    seed: int = ANN_SEED,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on a driver-side
+    sample (ordered by id — stable at any parallelism), seeded init,
+    fixed iteration count. Returns (k, dim) centroids to broadcast.
+
+    At 10^12 rows the sample is a tiny deterministic hash-slice of the
+    table; k-means on <=O(100k) sampled vectors is driver-side numpy by
+    design (centroid fitting is not the distributed bottleneck)."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Pandas UDF assigning each vector to its nearest centroid. The
+    centroid matrix rides the UDF closure — the pickled-once equivalent
+    of a broadcast variable for a few-KB array."""
+    c = centroids.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vec: pd.Series) -> pd.Series:
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: exact cosine only inside the nprobe clusters nearest
+    the query. At scale the cluster assignment is pre-materialized and
+    the table is partitioned by cluster id, so the probe is a partition-
+    pruned scan; here it is computed inline."""
+    q = np.array(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    assigned = df.withColumn("_cl", ivf_assign_udf(centroids)(F.col(vec_col)))
+    cand = assigned.filter(F.col("_cl").isin(probes)).drop("_cl")
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -41,6 +41,24 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.3, f"LSH recall {recall}"
 
 
+def test_ivf_topk(emb):
+    from cleanvision_spark.operators.ann import brute_force_topk, ivf_fit, ivf_topk
+
+    q = _qvec(emb)
+    centroids = ivf_fit(emb, k=8, sample=256)
+    assert centroids.shape[1] == len(q)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    got = [(r["vec_id"], r["cosine"]) for r in ivf_topk(emb, centroids, q, k=10, nprobe=4).collect()]
+    approx = {v for v, _ in got}
+    assert 0 in approx  # the query row itself is always found
+    assert len(exact & approx) / 10 >= 0.3
+    # deterministic across invocations
+    again = [(r["vec_id"], r["cosine"]) for r in ivf_topk(emb, centroids, q, k=10, nprobe=4).collect()]
+    assert got == again
+    c2 = ivf_fit(emb, k=8, sample=256)
+    assert (centroids == c2).all()
+
+
 def test_lsh_deterministic(emb):
     from cleanvision_spark.operators.ann import lsh_topk
 
