@@ -96,10 +96,14 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
     def t(name, fn):
         nonlocal n_rows
         fn()  # warm run: JIT/codegen for this exact plan
-        spark.catalog.clearCache()  # no cache carryover into the timed run
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        out = None
+        for _ in range(2):  # min-of-2: the shared host has 2-20x noise spikes
+            spark.catalog.clearCache()  # no cache carryover into a timed run
+            t0 = time.monotonic()
+            out = fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         if name == "quality_filter_full":
             n_rows = out
         return out
@@ -118,6 +122,14 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
     t("token_quality", lambda: token_counts(docs, "doc_id").count() + quality_scores(docs, "doc_id").count())
     t("ann_brute_topk", lambda: len(brute_force_topk(emb, qvec, 10).collect()))
     t("ann_lsh_topk", lambda: len(lsh_topk(emb, qvec, 10).collect()))
+
+    import __spark_entry__ as entrymod
+
+    t("tpch_q1", lambda: entrymod.queries()["tpch_q1"](spark, SF_DIR).count())
+    t(
+        "event_sessions",
+        lambda: entrymod.queries()["event_sessions"](spark, SF_DIR).count(),
+    )
     return timings, n_rows
 
 
