@@ -70,7 +70,7 @@ def build_grayscale(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     trained on cannot be assessed — score 1.0 (no finding)."""
     from cleanvision_spark.functions.langid import LANGS
 
-    known = F.col("lang").isin(LANGS)
+    known = F.coalesce(F.col("lang").isin(LANGS), F.lit(False))  # null lang = unknown
     return df.withColumn(
         score_col("grayscale"),
         F.when(~known | (F.col("lang_pred") == F.col("lang")), F.lit(1.0)).otherwise(

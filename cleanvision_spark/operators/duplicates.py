@@ -67,7 +67,7 @@ def near_duplicate_scores(
     values — a bucket that is exactly an exact-duplicate group is not a
     near-duplicate finding.
 
-    Scale notes: the UDF emits 32 band keys per row; explode → groupBy
+    Scale notes: the UDF emits BANDS (16) band keys per row; explode → groupBy
     (map-side partial agg) → inner join back against only the qualifying
     buckets (rare ⇒ small, AQE turns it into a broadcast join) → per-key
     max. No window over a potentially-mega bucket partition.

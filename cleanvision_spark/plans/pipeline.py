@@ -37,6 +37,12 @@ def attach_issues(
     names = [n for n in (which or list(builders)) if n in builders]
     needs_udf = bool(UDF_ISSUES & set(names))
     needs_entropy = "low_information" in names
+    if "content" in df.columns:
+        # null content = empty file: keeps sha256/dup grouping and every
+        # score well-defined instead of null-propagating out of joins
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("content", F.coalesce(F.col("content"), F.lit("")))
     df = with_properties(df, entropy=needs_entropy, udf_props=needs_udf)
     for name in sorted(names, key=lambda n: (KIND_ORDER[builders[n][0]], n)):
         _, fn = builders[name]

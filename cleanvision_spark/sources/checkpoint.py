@@ -64,7 +64,8 @@ class CheckpointedRun:
         from cleanvision_spark.operators.issues import odd_size_stats
 
         row = odd_size_stats(
-            df.withColumn("n_chars", F.length("content")), params.get("odd_size", {})
+            df.withColumn("n_chars", F.length(F.coalesce(F.col("content"), F.lit("")))),
+            params.get("odd_size", {}),
         ).collect()[0]
         stats = {"mid_thr": row["mid_thr"], "thr_gap": row["thr_gap"]}
         with open(path, "w") as f:
@@ -92,7 +93,7 @@ class CheckpointedRun:
         part = df.filter(
             F.pmod(F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(self.n_buckets))
             == i
-        )
+        ).withColumn("content", F.coalesce(F.col("content"), F.lit("")))
         scored = attach_issues(part, params, ROW_ISSUES)
         scored = with_sha256(scored)
         max_chars = int(params.get("near_duplicates", {}).get("max_chars", 65536))

@@ -1,0 +1,37 @@
+"""Edge-case robustness: null content/lang, unicode, empty corpus."""
+
+from __future__ import annotations
+
+from cleanvision_spark.config import merge_params
+from cleanvision_spark.plans.pipeline import quality_filter
+from cleanvision_spark.schema import CORPUS_SCHEMA
+
+
+def test_null_and_unicode_rows(spark):
+    rows = [
+        ("o/a", "null1.py", "c1", "python", None),
+        ("o/b", "null2.py", "c2", "python", None),
+        ("o/c", "nolang.py", "c3", None, "x = 1\ny = 2\n"),
+        ("o/d", "uni.py", "c4", "python", "def f():\n    return 'héllo wörld 日本語'\n" * 10),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    out = {r["path"]: r for r in quality_filter(df, merge_params(None)).collect()}
+    # null content behaves as the empty file: scored, hashed, grouped
+    assert out["null1.py"]["sha256_scrubbed"] is not None
+    assert out["null1.py"]["is_low_information_issue"] is True
+    assert out["null1.py"]["keep"] is False
+    # two null-content rows are exact duplicates of each other
+    assert out["null1.py"]["is_exact_duplicates_issue"] is True
+    assert out["null1.py"]["exact_duplicates_score"] == 0.5
+    # null lang: grayscale cannot fire (unknown declared lang)
+    assert out["nolang.py"]["is_grayscale_issue"] is False
+    # unicode content survives the whole pipeline
+    assert out["uni.py"]["keep"] is True
+    assert len(out["uni.py"]["sha256_scrubbed"]) == 64
+
+
+def test_empty_corpus(spark):
+    df = spark.createDataFrame([], CORPUS_SCHEMA)
+    out = quality_filter(df, merge_params(None))
+    assert out.count() == 0
+    assert "keep" in out.columns
