@@ -96,6 +96,14 @@ def select_issue_columns(df: DataFrame, prefix: str) -> DataFrame:
     return df.select(*keys, *[c for c in df.columns if c.startswith(prefix)])
 
 
+def largest_sets(sets_df: DataFrame, k: int = 4) -> DataFrame:
+    """Largest duplicate sets first (T2, imagelab.py:522-526):
+    TakeOrderedAndProject on member-count desc, hash tiebreak."""
+    return sets_df.orderBy(
+        F.desc(F.size("members")), F.asc("sha256")
+    ).limit(k)
+
+
 def random_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """Deterministic random exemplar sample (T3, imagelab.py:643-658)."""
     return df.orderBy(F.rand(seed)).limit(n)
