@@ -89,12 +89,19 @@ def near_duplicate_scores(
         band_expr = F.col(bands_col)
     else:
         band_expr = minhash_bands_udf(F.substring(F.col("content"), 1, max_chars))
+    # distinctness key = xxhash64(sha256): 8 bytes in the exploded shuffle
+    # instead of the 64-char sha string (distinctness preserved; collision
+    # odds 2^-64 per pair)
     ex = (
-        df.select(*KEY_COLS, "sha256", F.explode(band_expr).alias("_bh"))
+        df.select(
+            *KEY_COLS,
+            F.xxhash64(F.col("sha256")).alias("_sha64"),
+            F.explode(band_expr).alias("_bh"),
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = ex.groupBy("_bh").agg(
         F.count(F.lit(1)).alias("_bcnt"),
-        F.count_distinct("sha256").alias("_nsha"),
+        F.count_distinct("_sha64").alias("_nsha"),
         F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_bmin"),
     )
     qual = buckets.filter(F.col("_nsha") >= 2)

@@ -1,0 +1,78 @@
+"""Property-based kernel tests (hypothesis): invariants that must hold
+for ANY input, complementing the closed-form unit tests."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cleanvision_spark.functions.entropy import char_entropy
+from cleanvision_spark.functions.hashing import (
+    _shingle_hashes,
+    fingerprint64,
+    minhash_bands,
+    minhash_signature,
+    simhash64,
+)
+from cleanvision_spark.functions.langid import predict_lang
+from cleanvision_spark.functions.perplexity import surprisal_quantiles
+from cleanvision_spark.functions.scrub import scrub_text_py
+
+text = st.text(max_size=2000)
+
+
+@given(text)
+@settings(max_examples=60, deadline=None)
+def test_entropy_bounds(s):
+    h = char_entropy(s)
+    assert 0.0 <= h
+    if s:
+        assert h <= math.log2(max(len(set(s)), 2)) + 1e-9
+
+
+@given(text)
+@settings(max_examples=40, deadline=None)
+def test_scrub_idempotent(s):
+    once = scrub_text_py(s)
+    assert scrub_text_py(once) == once
+
+
+@given(text)
+@settings(max_examples=40, deadline=None)
+def test_surprisal_in_unit_interval_and_ordered(s):
+    q = surprisal_quantiles(s)
+    for v in q.values():
+        assert -1e-12 <= v <= 1.0 + 1e-12
+    assert q["q_p1"] <= q["q_p5"] <= q["q_p15"] <= q["q_p90"] <= q["q_p99"]
+
+
+@given(text)
+@settings(max_examples=40, deadline=None)
+def test_hashes_deterministic_and_typed(s):
+    assert minhash_bands(s) == minhash_bands(s)
+    assert simhash64(s) == simhash64(s)
+    assert fingerprint64(s) == fingerprint64(s)
+    assert 0 <= fingerprint64(s) < 1 << 63
+    assert len(minhash_signature(s)) == 128
+    assert predict_lang(s) == predict_lang(s)
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=30, max_size=120))
+@settings(max_examples=25, deadline=None)
+def test_minhash_estimates_jaccard(tokens):
+    a = " ".join(tokens)
+    b = " ".join(tokens[: len(tokens) * 3 // 4])  # prefix:真 jaccard known-ish
+    sa, sb = set(_shingle_hashes(a).tolist()), set(_shingle_hashes(b).tolist())
+    if not sa or not sb:
+        return
+    true_j = len(sa & sb) / len(sa | sb)
+    est = float((minhash_signature(a) == minhash_signature(b)).mean())
+    assert abs(est - true_j) <= 0.25  # 128 perms -> se ~0.04; generous bound
+
+
+@given(text)
+@settings(max_examples=30, deadline=None)
+def test_fingerprint_whitespace_invariant(s):
+    assert fingerprint64(s) == fingerprint64("  " + s + "\t")
