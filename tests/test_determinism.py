@@ -1,0 +1,33 @@
+"""Parallelism invariance: identical results regardless of partitioning —
+the property that makes the F1/sha256 gates stable across cluster sizes
+(SURVEY.md §7 determinism risk note)."""
+
+from __future__ import annotations
+
+from cleanvision_spark.config import merge_params
+from cleanvision_spark.plans.pipeline import quality_filter
+from cleanvision_spark.schema import CORPUS_SCHEMA
+from cleanvision_spark.sources.synth import generate_corpus
+
+
+def _run(spark, df, nparts):
+    out = quality_filter(df.repartition(nparts), merge_params(None))
+    cols = sorted(
+        c
+        for c in out.columns
+        if c.endswith("_score") or c.startswith("is_") or c in ("keep", "sha256_scrubbed")
+    )
+    return (
+        out.select("repo", "path", "commit", *cols)
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+
+
+def test_pipeline_invariant_to_partitioning(spark):
+    corpus, _ = generate_corpus(n_clean=40, seed=21)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    a = _run(spark, df, 1)
+    b = _run(spark, df, 16)
+    assert a.equals(b), "results differ between 1 and 16 partitions"
