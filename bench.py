@@ -182,7 +182,11 @@ def scaling() -> None:
     cannot evidence the job's scalability; 2->8 stays on distinct
     physical cores (microbenchmark ~0.85). Override with
     SPARK_GRAFT_SCALE="8,32"."""
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
+    # big enough that the parallel section dominates the ~7s of fixed
+    # driver-side work (AQE stage scheduling, global-stats job) — scaling
+    # efficiency is a property of the steady-state job, and a cluster-scale
+    # input keeps executors busy for hours, not seconds
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "120"))
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE", "2,8").split(",")
     )
