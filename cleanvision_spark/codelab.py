@@ -86,11 +86,23 @@ class CodeLab:
             if not n:
                 continue  # skip zero-count issues (imagelab.py:450-456)
             lines.append(f"--- {issue}: {n} files ---")
-            top = top_k_severe(self.issues, issue, k=num_rows)
-            for r in top.select("repo", "path", score_col(issue)).collect():
-                lines.append(
-                    f"  {r['repo']}/{r['path']}  score={r[score_col(issue)]:.4f}"
-                )
+            if issue == "exact_duplicates" and "sha256" in self.issues.columns:
+                # largest duplicate sets first (T2, imagelab.py:522-526)
+                from cleanvision_spark.operators.duplicates import exact_duplicate_sets
+                from cleanvision_spark.operators.summary import largest_sets
+
+                for r in largest_sets(
+                    exact_duplicate_sets(self.issues), k=num_rows
+                ).collect():
+                    lines.append(
+                        f"  set of {r['n_members']}: {r['members'][0]} ..."
+                    )
+            else:
+                top = top_k_severe(self.issues, issue, k=num_rows)
+                for r in top.select("repo", "path", score_col(issue)).collect():
+                    lines.append(
+                        f"  {r['repo']}/{r['path']}  score={r[score_col(issue)]:.4f}"
+                    )
             lines.append("")
         return "\n".join(lines)
 

@@ -244,8 +244,8 @@ _PROFILES: dict[str, np.ndarray] | None = None
 
 
 def _trigram_hashes(s: str) -> np.ndarray:
-    """Deterministic hashed trigrams of a string (crc-free: polynomial
-    over utf-8 bytes, mod 2^16)."""
+    """Deterministic hashed byte-trigrams of a string (24-bit trigram
+    value mod N_BUCKETS = 2^18)."""
     b = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
     if len(b) < 3:
         return np.empty(0, dtype=np.int64)

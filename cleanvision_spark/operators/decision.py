@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from cleanvision_spark.config import DROP_ISSUES, flag_col
 from cleanvision_spark.functions.scrub import scrub_column
-from cleanvision_spark.schema import KEY_COLS
 
 
 def with_scrub(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -48,15 +47,5 @@ def with_keep(df: DataFrame) -> DataFrame:
     return df.withColumn("keep", ~(quality_drop | dup_drop))
 
 
-def with_exact_canonical(df: DataFrame) -> DataFrame:
-    """Mark the canonical (minimum-key) member of each sha256 group."""
-    if "sha256" not in df.columns:
-        from cleanvision_spark.operators.duplicates import with_sha256
-
-        df = with_sha256(df)
-    key = F.struct(*[F.col(c) for c in KEY_COLS])
-    canon = df.groupBy("sha256").agg(F.min(key).alias("_canon_key"))
-    out = df.join(canon, "sha256", "left")
-    return out.withColumn(
-        "_is_canonical_exact_duplicates", key == F.col("_canon_key")
-    ).drop("_canon_key")
+# canonical-member selection lives in duplicates.exact_duplicates_full,
+# fused into the same groupBy as the duplicate count (one shuffle).
