@@ -96,6 +96,35 @@ def select_issue_columns(df: DataFrame, prefix: str) -> DataFrame:
     return df.select(*keys, *[c for c in df.columns if c.startswith(prefix)])
 
 
+def repo_issue_stats(
+    df: DataFrame, hot_repos: list[str] | None = None, salt_buckets: int = 32
+) -> DataFrame:
+    """Per-repo rollup of rows/kept/flag counts with skew-safe salting.
+
+    Mega-repos (north_rule skew case) are split into deterministic salt
+    sub-keys before the first aggregation, then re-aggregated by repo:
+    two small shuffles instead of one where a single reducer owns the
+    hot repo. Results are identical to a direct groupBy(repo) — the
+    oracle checks that.
+    """
+    from cleanvision_spark.sources.corpus import salt_skewed_repos
+
+    flags = [c for c in df.columns if c.startswith("is_") and c.endswith("_issue")]
+    aggs1 = [F.count(F.lit(1)).alias("_rows")] + [
+        F.sum(F.col(c).cast("long")).alias(f"_{c}") for c in flags
+    ]
+    if "keep" in df.columns:
+        aggs1.append(F.sum(F.col("keep").cast("long")).alias("_kept"))
+    salted = salt_skewed_repos(df, hot_repos or [], buckets=salt_buckets)
+    phase1 = salted.groupBy("repo", "repo_salt").agg(*aggs1)
+    aggs2 = [F.sum("_rows").alias("n_rows")] + [
+        F.sum(f"_{c}").alias(f"n{c[2:]}") for c in flags
+    ]
+    if "keep" in df.columns:
+        aggs2.append(F.sum("_kept").alias("n_kept"))
+    return phase1.groupBy("repo").agg(*aggs2)
+
+
 def largest_sets(sets_df: DataFrame, k: int = 4) -> DataFrame:
     """Largest duplicate sets first (T2, imagelab.py:522-526):
     TakeOrderedAndProject on member-count desc, hash tiebreak."""

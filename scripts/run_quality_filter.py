@@ -71,7 +71,9 @@ def main() -> None:
     if result is None:  # pragma: no cover - only on interrupted runs
         print(json.dumps({"status": "partial", "done_buckets": run.done_buckets()}))
         return
-    result.write.mode("overwrite").parquet(args.output)
+    # lang-partitioned output mirrors the input pruning scheme, so
+    # downstream consumers get partition pruning for free
+    result.write.mode("overwrite").partitionBy("lang").parquet(args.output)
     kept = result.filter("keep").count()
     total = result.count()
     metrics = {"status": "complete", "rows": total, "kept": kept,
