@@ -38,4 +38,11 @@ def _row_props(s: str | None) -> dict:
 
 @F.pandas_udf(UDF_PROPS_SCHEMA)
 def udf_properties(s: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame([_row_props(v) for v in s])
+    from cleanvision_spark.functions.perplexity import surprisal_quantiles_batch
+
+    vals = s.tolist()
+    rows = surprisal_quantiles_batch(vals)  # bitwise == per-row path
+    for v, d in zip(vals, rows):
+        d["entropy"] = char_entropy(v)
+        d["lang_pred"] = predict_lang(v)
+    return pd.DataFrame(rows)
