@@ -145,6 +145,66 @@ def dedup_embedding_cosine(
     return pairs.distinct()
 
 
+def dedup_simhash_hamming(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: the 61-bit simhash splits into n_blocks chunks;
+    two hashes within Hamming k < n_blocks must agree on at least one
+    whole chunk, so candidates = pairs sharing any (block_id, block_value)
+    bucket — an equi-join, never a cross join — then the exact Hamming
+    distance (xor + bit_count, pure JVM) filters. Exhaustive for
+    k <= n_blocks - 1.
+    """
+    from cleanvision_spark.functions.hashing import simhash64_udf
+
+    bits_per = 64 // n_blocks
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash")
+    )
+    blocks = hashed.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_blk"),
+    ).select("id", "simhash", "_blk.block_id", "_blk.block_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            [
+                F.col("l.block_id") == F.col("r.block_id"),
+                F.col("l.block_val") == F.col("r.block_val"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_pairs_blocked(
     df: DataFrame,
     id_col: str,

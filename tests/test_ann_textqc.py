@@ -68,6 +68,23 @@ def test_lsh_deterministic(emb):
     assert a == b
 
 
+def test_dedup_simhash_hamming(spark):
+    from cleanvision_spark.functions.hashing import simhash64
+    from cleanvision_spark.operators.dedup import dedup_simhash_hamming
+
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = base.replace("tok7 ", "tokX ")  # tiny token change
+    far = " ".join(f"other{i}" for i in range(300))
+    # precondition: near pair really is within hamming 3, far is not
+    h = lambda s: simhash64(s)
+    assert bin(h(base) ^ h(near)).count("1") <= 3
+    assert bin(h(base) ^ h(far)).count("1") > 3
+    rows = [(1, base), (2, near), (3, far)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_simhash_hamming(df, "doc_id").collect()}
+    assert pairs == {(1, 2)}
+
+
 def test_dedup_normalized_semantics(spark):
     from cleanvision_spark.operators.dedup import dedup_normalized
 
