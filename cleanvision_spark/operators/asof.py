@@ -1,0 +1,69 @@
+"""As-of join — Spark lacks a native one (pyspark guide: bucketize or
+merge_asof per group). This implementation is the pure-DataFrame union +
+window trick, which is the scalable form:
+
+union the tagged left and right rows, sort within each ``by`` group by
+(time, right-first tiebreak), carry the latest right values forward with
+last_value(ignoreNulls) over an unbounded-preceding window, then keep
+the left rows. ONE shuffle on the by-key, no per-group Python, no
+pairwise join explosion — works at any group size, and AQE handles
+skewed keys.
+
+Tie semantics: a right row at exactly t matches a left row at t
+(right sorts before left on equal timestamps), matching DuckDB's
+ASOF JOIN (l.ts >= r.ts) used as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row: values of the latest right row with
+    right.on <= left.on within the same ``by`` group.
+
+    ``value_cols`` are taken from ``right`` and appended to the left
+    schema (null when no earlier right row exists; how='inner' drops
+    those rows instead).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in (by + [on]) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c + "_asof")
+            for c in value_cols
+        ],
+    ).filter(F.col("_side") == 1)
+    out = carried.drop("_side")
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0] + "_asof").isNotNull())
+    return out

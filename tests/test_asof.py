@@ -1,0 +1,38 @@
+"""As-of join semantics on a hand-built frame."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def test_asof_join_semantics(spark):
+    from cleanvision_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, 100, T("2024-01-01 10:00:00")),
+            (2, 100, T("2024-01-01 12:00:00")),
+            (3, 100, T("2024-01-01 09:00:00")),  # before any right row
+            (4, 200, T("2024-01-01 10:30:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (90, 100, T("2024-01-01 10:00:00")),  # exact tie -> matches
+            (91, 100, T("2024-01-01 11:00:00")),
+            (92, 200, T("2024-01-01 10:00:00")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(left, right, on="ts", by=["user_id"], value_cols=["event_id"]).collect()
+    }
+    assert out == {1: 90, 2: 91, 3: None, 4: 92}
+
+    inner = asof_join(
+        left, right, on="ts", by=["user_id"], value_cols=["event_id"], how="inner"
+    )
+    assert {r["event_id"] for r in inner.collect()} == {1, 2, 4}
