@@ -61,6 +61,41 @@ def stream_quality_filter(
     return out.withColumn("keep", ~drop)
 
 
+def foreach_batch_dedup_sink(index_dir: str, out_dir: str):
+    """foreachBatch sink that exactly-dedups a scored stream against all
+    previously-seen content: each micro-batch left-anti-joins the
+    persistent sha256 index (batch-maintained parquet), writes the
+    genuinely-new rows to ``out_dir``, and appends their hashes to the
+    index. Exact duplicate detection is cross-row state that does NOT
+    belong in unbounded streaming state — the index is bounded only by
+    distinct content and lives in storage, not executor memory."""
+    import os
+
+    from cleanvision_spark.operators.duplicates import with_sha256
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = with_sha256(batch_df)
+        # dedup within the batch itself first (keep min key per sha)
+        w_min = hashed.groupBy("sha256").agg(
+            F.min(F.struct("repo", "path", "commit")).alias("_k")
+        )
+        hashed = hashed.join(w_min, "sha256").filter(
+            F.struct("repo", "path", "commit") == F.col("_k")
+        ).drop("_k")
+        if os.path.exists(os.path.join(index_dir, "_SUCCESS")) or (
+            os.path.isdir(index_dir) and os.listdir(index_dir)
+        ):
+            seen = spark.read.parquet(index_dir).select("sha256")
+            fresh = hashed.join(seen, "sha256", "left_anti")
+        else:
+            fresh = hashed
+        fresh.write.mode("append").parquet(out_dir)
+        fresh.select("sha256").write.mode("append").parquet(index_dir)
+
+    return _sink
+
+
 def stream_issue_counts(scored: DataFrame, window: str = "1 minute") -> DataFrame:
     """Windowed issue-count metrics over processing time."""
     flags = [c for c in scored.columns if c.startswith("is_")]

@@ -42,6 +42,46 @@ def test_stream_quality_filter(spark, tmp_path):
     assert langmix["is_grayscale_issue"] and not langmix["keep"]
 
 
+def test_foreach_batch_dedup(spark, tmp_path):
+    from cleanvision_spark.streaming.stream import foreach_batch_dedup_sink
+
+    corpus, _ = generate_corpus(n_clean=16, seed=13)  # includes dup_a/dup_b
+    src, idx, out = (str(tmp_path / d) for d in ("in", "idx", "out"))
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_dedup_sink(idx, out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = spark.read.parquet(out)
+    n_distinct = df.select(F.sha2("content", 256)).distinct().count()
+    assert kept.count() == n_distinct  # exactly one row per distinct content
+    assert kept.select("sha256").distinct().count() == n_distinct
+
+    # replaying the same stream into the same index adds nothing new
+    stream2 = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q2 = (
+        stream2.writeStream.foreachBatch(foreach_batch_dedup_sink(idx, out))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n_distinct
+
+
 def test_stream_event_windows(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     schema = events.schema
