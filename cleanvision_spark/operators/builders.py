@@ -79,6 +79,45 @@ def build_grayscale(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     ).withColumn(flag_col("grayscale"), I.inversion_flag("grayscale"))
 
 
+# --- opt-in extensions (not in ISSUE_DEFAULTS -> excluded from the
+# default pipeline and from keep/drop; request explicitly) -----------------
+
+
+@register_issue("encoding_garbage", kind="row")
+def build_encoding_garbage(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    """Mojibake/binary-in-text detector: fraction of replacement chars,
+    control bytes (non \\t\\n\\r) and U+FFFD. score = 1 - ratio,
+    flag < threshold (default 0.995 ~ more than 0.5% garbage)."""
+    threshold = float(params.get("threshold", 0.995))
+    c = F.col("content")
+    bad = F.length(c) - F.length(
+        F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\ufffd]", "")
+    )
+    score = F.when(F.length(c) == 0, F.lit(1.0)).otherwise(
+        F.round(F.lit(1.0) - bad.cast("double") / F.length(c).cast("double"), 9)
+    )
+    return df.withColumn(score_col("encoding_garbage"), score).withColumn(
+        flag_col("encoding_garbage"), F.col(score_col("encoding_garbage")) < threshold
+    )
+
+
+@register_issue("comment_density", kind="row")
+def build_comment_density(df: DataFrame, params: dict[str, Any]) -> DataFrame:
+    """Commented-out-code / license-wall detector: fraction of lines that
+    are comments. score = 1 - density; flag < threshold (default 0.5 —
+    files that are mostly comments)."""
+    threshold = float(params.get("threshold", 0.5))
+    ls = F.split(F.substring(F.col("content"), 1, 262144), "\n")
+    is_comment = lambda x: F.trim(x).rlike("^(#|//|/\\*|\\*|--|;)")
+    n_comment = F.size(F.filter(ls, is_comment))
+    density = n_comment.cast("double") / F.greatest(F.size(ls), F.lit(1)).cast("double")
+    return df.withColumn(
+        score_col("comment_density"), F.round(F.lit(1.0) - density, 9)
+    ).withColumn(
+        flag_col("comment_density"), F.col(score_col("comment_density")) < threshold
+    )
+
+
 @register_issue("odd_size", kind="global")
 def build_odd_size(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     return I.with_odd_size(df, params)

@@ -33,8 +33,12 @@ def attach_issues(
     which: list[str] | None = None,
 ) -> DataFrame:
     """Add score/flag columns for every requested (implemented) issue."""
+    from cleanvision_spark.config import DEFAULT_ISSUE_TYPES
+
     builders = issue_builders()
-    names = [n for n in (which or list(builders)) if n in builders]
+    # default work list = the reference's nine issue types; registered
+    # opt-in extensions run only when requested explicitly
+    names = [n for n in (which or DEFAULT_ISSUE_TYPES) if n in builders]
     needs_udf = bool(UDF_ISSUES & set(names))
     needs_entropy = "low_information" in names
     if "content" in df.columns:
@@ -70,10 +74,11 @@ def run_pipeline(
     params: dict[str, dict[str, Any]],
     which: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
+    from cleanvision_spark.config import DEFAULT_ISSUE_TYPES
     from cleanvision_spark.operators.summary import issue_summary
 
     builders = issue_builders()
-    names = [n for n in (which or list(builders)) if n in builders]
+    names = [n for n in (which or DEFAULT_ISSUE_TYPES) if n in builders]
     issues = attach_issues(df, params, names)
     summary = issue_summary(issues, names)
     info: dict[str, Any] = {"issue_types": names}

@@ -43,6 +43,28 @@ def test_custom_issue_registration(spark):
         _REGISTRY.pop("todo_density", None)
 
 
+def test_optin_extension_issues(spark):
+    rows = [
+        ("o/a", "garbage.py", "c", "python", "ok text \x00\x01\x02\x03\x04\x05\x06 bad"),
+        ("o/b", "licwall.py", "c", "python", "# l1\n# l2\n# l3\n# l4\nx = 1\n"),
+        ("o/c", "clean.py", "c", "python", "x = 1\ny = 2\nz = x + y\n"),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    out = attach_issues(
+        df,
+        merge_params({"encoding_garbage": {}, "comment_density": {}}),
+        ["encoding_garbage", "comment_density"],
+    )
+    got = {r["path"]: r for r in out.collect()}
+    assert got["garbage.py"]["is_encoding_garbage_issue"] is True
+    assert got["clean.py"]["is_encoding_garbage_issue"] is False
+    assert got["licwall.py"]["is_comment_density_issue"] is True
+    assert got["clean.py"]["is_comment_density_issue"] is False
+    # opt-ins never appear in the default pipeline
+    default = attach_issues(df, merge_params(None))
+    assert "is_encoding_garbage_issue" not in default.columns
+
+
 def test_corpus_from_keys(spark):
     corpus, _ = generate_corpus(n_clean=8, seed=3)
     base = spark.createDataFrame(corpus, CORPUS_SCHEMA)
