@@ -29,7 +29,15 @@ _SHIPPED: set[int] = set()
 
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship the cleanvision_spark package to executor Python workers
-    (the local-mode analog of ``spark-submit --py-files pkg.zip``)."""
+    (the local-mode analog of ``spark-submit --py-files pkg.zip``).
+
+    Also releases tracked persisted intermediates from the PREVIOUS
+    query (cleanvision_spark.cache) — every query calls this first and
+    the driver collects each query before building the next, so cached
+    UDF intermediates never accumulate across the 35+-query run."""
+    from cleanvision_spark.cache import release_tracked
+
+    release_tracked()
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
@@ -62,6 +70,55 @@ corpus AS (
     lang,
     text AS content
   FROM documents
+)
+"""
+
+# Planted-duplicate corpus: the driver's documents table has NO duplicate
+# texts at sf0.001/sf0.01, so duplicate-set oracles would pass trivially
+# (0 == 0 rows). Mirroring the reference's golden strategy of planting
+# dup pairs (/root/reference/tests/test_run.py:24-56), the duplicate-
+# family queries union deterministic planted rows onto the corpus:
+# exact copies (_dup), formatting-only variants (_norm: doubled/leading/
+# trailing spaces), and one-token-appended near variants (_near) of the
+# first 8 documents. Both sides (Spark + DuckDB) construct them with the
+# same expressions.
+PLANT_SUFFIXES = {
+    "_dup.txt": "text",
+    "_norm.txt": "'  ' || replace(text, ' ', '  ') || '  '",
+    "_near.txt": "text || ' zqnearmarker'",
+}
+
+CORPUS_PLANTED_CTE = (
+    CORPUS_CTE
+    + """,
+planted_src AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 8),
+corpus_p AS (
+  SELECT * FROM corpus
+"""
+    + "".join(
+        f"""  UNION ALL
+  SELECT
+    'org' || CAST(doc_id % 13 AS VARCHAR) || '/repo' || CAST(doc_id % 101 AS VARCHAR),
+    'src/file_' || CAST(doc_id AS VARCHAR) || '{sfx}',
+    substr(sha256(CAST(doc_id AS VARCHAR) || '{sfx}'), 1, 40),
+    lang, {content}
+  FROM planted_src
+"""
+        for sfx, content in PLANT_SUFFIXES.items()
+    )
+    + ")"
+)
+
+# documents-level planted variants for the generic dedup operators
+DOCS_PLANTED_CTE = """
+docs_p AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, '  ' || replace(text, ' ', '  ') || '  '
+  FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT doc_id + 2000000, lang, text || ' zqnearmarker'
+  FROM documents WHERE doc_id < 8
 )
 """
 
@@ -147,6 +204,68 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_from_documents(spark, sf_dir)
 
 
+def _corpus_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + planted dup/norm/near rows (Spark side of
+    CORPUS_PLANTED_CTE — same expressions, same rows)."""
+    from pyspark.sql import functions as F
+
+    base = _corpus(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 8
+    )
+
+    def _planted(suffix: str, content: F.Column) -> DataFrame:
+        return src.select(
+            F.concat(
+                F.lit("org"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit("/repo"),
+                (F.col("doc_id") % 101).cast("string"),
+            ).alias("repo"),
+            F.concat(
+                F.lit("src/file_"), F.col("doc_id").cast("string"), F.lit(suffix)
+            ).alias("path"),
+            F.substring(
+                F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(suffix)), 256),
+                1,
+                40,
+            ).alias("commit"),
+            F.col("lang"),
+            content.alias("content"),
+        )
+
+    exact = _planted("_dup.txt", F.col("text"))
+    norm = _planted(
+        "_norm.txt",
+        F.concat(F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit("  ")),
+    )
+    near = _planted("_near.txt", F.concat(F.col("text"), F.lit(" zqnearmarker")))
+    return base.unionByName(exact).unionByName(norm).unionByName(near)
+
+
+def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted variants (Spark side of DOCS_PLANTED_CTE)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    src = docs.filter(F.col("doc_id") < 8)
+    norm = src.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("lang"),
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit("  ")
+        ).alias("text"),
+    )
+    near = src.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" zqnearmarker")).alias("text"),
+    )
+    return docs.unionByName(norm).unionByName(near)
+
+
 # the SQL-expressible issue subset (dark/light/grayscale are UDF-only and
 # have no DuckDB mirror; they are covered by the golden pytest suite)
 SQL_ISSUES = [
@@ -186,7 +305,7 @@ def _q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cleanvision_spark.operators.duplicates import exact_duplicate_scores
 
-    df = exact_duplicate_scores(_corpus(spark, sf_dir))
+    df = exact_duplicate_scores(_corpus_planted(spark, sf_dir))
     return df.select(
         *KEYS,
         F.round("exact_duplicates_score", 6).alias("exact_duplicates_score"),
@@ -199,7 +318,7 @@ def _q_exact_duplicate_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cleanvision_spark.operators.duplicates import exact_duplicate_sets
 
-    sets = exact_duplicate_sets(_corpus(spark, sf_dir))
+    sets = exact_duplicate_sets(_corpus_planted(spark, sf_dir))
     return sets.select(
         "sha256",
         F.element_at("members", 1).alias("first_member"),
@@ -213,9 +332,26 @@ def _q_largest_dup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.duplicates import exact_duplicate_sets
     from cleanvision_spark.operators.summary import largest_sets
 
-    sets = largest_sets(exact_duplicate_sets(_corpus(spark, sf_dir)), k=5)
+    sets = largest_sets(exact_duplicate_sets(_corpus_planted(spark, sf_dir)), k=5)
     return sets.select(
         "sha256", F.element_at("members", 1).alias("first_member"), "n_members"
+    )
+
+
+def _q_exact_dup_normalized_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_duplicates with the selectable hash_type='normalized' family
+    (reference duplicate_issue_manager.py:18-44,75-86): formatting-only
+    variants group together."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.duplicates import exact_duplicates_full
+
+    df = exact_duplicates_full(_corpus_planted(spark, sf_dir), hash_type="normalized")
+    return df.select(
+        *KEYS,
+        F.round("exact_duplicates_score", 6).alias("exact_duplicates_score"),
+        F.col("is_exact_duplicates_issue"),
+        F.col("_is_canonical_exact_duplicates"),
     )
 
 
@@ -325,14 +461,16 @@ def _q_repo_issue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_prevalence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cleanvision_spark.operators.summary import issue_summary, prevalence_filter
+    """Summary + prevalence filter in ONE aggregation job — the total
+    row count rides the same agg as the flag sums (a separate
+    df.count() would re-execute the whole issues plan)."""
+    from cleanvision_spark.operators.summary import prevalence_filtered_summary
 
     df = _issues(spark, sf_dir)
     issues = sorted(
         c[3:-6] for c in df.columns if c.startswith("is_") and c.endswith("_issue")
     )
-    total = df.count()
-    return prevalence_filter(issue_summary(df, issues), total, 0.5)
+    return prevalence_filtered_summary(df, issues, 0.5)
 
 
 def _q_scrub_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +508,7 @@ def _q_langid_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.duplicates import near_duplicate_scores
 
-    df = near_duplicate_scores(_corpus(spark, sf_dir))
+    df = near_duplicate_scores(_corpus_planted(spark, sf_dir))
     return _r6(
         df,
         *KEYS,
@@ -384,9 +522,8 @@ def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import dedup_normalized
 
     _ensure_shipped(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _r6(
-        dedup_normalized(docs, "doc_id"),
+        dedup_normalized(_docs_planted(spark, sf_dir), "doc_id"),
         "doc_id",
         "norm_sha256",
         "dup_count",
@@ -400,9 +537,8 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import dedup_minhash
 
     _ensure_shipped(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _r6(
-        dedup_minhash(docs, "doc_id"),
+        dedup_minhash(_docs_planted(spark, sf_dir), "doc_id"),
         "doc_id",
         "dedup_score",
         "is_near_duplicate",
@@ -678,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_full": _q_quality_filter_full,
         "langid_surprisal": _q_langid_surprisal,
         "exact_duplicates": _q_exact_duplicates,
+        "exact_dup_normalized_hash": _q_exact_dup_normalized_hash,
         "exact_duplicate_sets": _q_exact_duplicate_sets,
         "largest_dup_sets": _q_largest_dup_sets,
         "text_properties": _q_text_properties,
@@ -767,9 +904,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "events_asof_signup": """
+            -- right side pre-reduced to max(event_id) per (user_id, ts):
+            -- DuckDB ASOF leaves right-tie choice undefined, while the
+            -- Spark operator's documented rule is greatest-value-wins on
+            -- ties — the reduction makes both sides implement that rule
             SELECT l.event_id, l.user_id, r.event_id AS signup_event_id
             FROM events l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, max(event_id) AS event_id
+              FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+            ) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_pivot": """
@@ -809,11 +953,11 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2
         """,
         "scrub_sha256": _scrub_oracle(),
-        "dedup_normalized": r"""
-            WITH n AS (
+        "dedup_normalized": rf"""
+            WITH {DOCS_PLANTED_CTE}, n AS (
               SELECT doc_id,
                      sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_sha256
-              FROM documents
+              FROM docs_p
             ), g AS (
               SELECT norm_sha256, count(*)::BIGINT AS dup_count,
                      min(doc_id) AS canonical_id
@@ -914,30 +1058,49 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "exact_duplicates": f"""
-            WITH {CORPUS_CTE}
+            WITH {CORPUS_PLANTED_CTE}
             SELECT repo, path, commit,
                    round(1.0::DOUBLE / cnt, 6) AS exact_duplicates_score,
                    cnt > 1 AS is_exact_duplicates_issue
             FROM (
               SELECT *, count(*) OVER (PARTITION BY sha256(content)) AS cnt
-              FROM corpus
+              FROM corpus_p
+            )
+        """,
+        "exact_dup_normalized_hash": rf"""
+            WITH {CORPUS_PLANTED_CTE},
+            h AS (
+              SELECT repo, path, commit,
+                     sha256(lower(trim(regexp_replace(content, '\s+', ' ', 'g')))) AS nh
+              FROM corpus_p
+            )
+            SELECT repo, path, commit,
+                   round(1.0::DOUBLE / cnt, 6) AS exact_duplicates_score,
+                   cnt > 1 AS is_exact_duplicates_issue,
+                   rn = 1 AS _is_canonical_exact_duplicates
+            FROM (
+              SELECT repo, path, commit,
+                     count(*) OVER (PARTITION BY nh) AS cnt,
+                     row_number() OVER (PARTITION BY nh
+                                        ORDER BY repo, path, commit) AS rn
+              FROM h
             )
         """,
         "exact_duplicate_sets": f"""
-            WITH {CORPUS_CTE}
+            WITH {CORPUS_PLANTED_CTE}
             SELECT sha256(content) AS sha256,
                    min(repo || '||' || path || '||' || commit) AS first_member,
                    count(*) AS n_members
-            FROM corpus
+            FROM corpus_p
             GROUP BY 1
             HAVING count(*) >= 2
         """,
         "largest_dup_sets": f"""
-            WITH {CORPUS_CTE}
+            WITH {CORPUS_PLANTED_CTE}
             SELECT sha256(content) AS sha256,
                    min(repo || '||' || path || '||' || commit) AS first_member,
                    count(*) AS n_members
-            FROM corpus
+            FROM corpus_p
             GROUP BY 1
             HAVING count(*) >= 2
             ORDER BY n_members DESC, sha256 ASC

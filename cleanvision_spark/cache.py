@@ -1,0 +1,44 @@
+"""Tracked persistence for UDF-feeding intermediates.
+
+Any pandas-UDF output consumed by more than one plan branch must be
+persisted or the UDF re-evaluates per branch (CLAUDE.md invariant).
+Those persists used to leak: a long session (bench loops, the driver's
+37-query run) accumulated MEMORY_AND_DISK blocks until eviction
+pressure. ``tracked_persist`` registers every such intermediate and
+``release_tracked`` drops them all — callers invoke it after the
+downstream result materializes (bench between queries, the driver
+contract at the start of each persisting query, scripts at exit).
+
+Unpersisting is always safe: a plan that still references a released
+DataFrame silently recomputes it (correctness is unaffected; only the
+single-evaluation guarantee needs the cache to be alive while the query
+that created it runs).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    out = df.persist(level)
+    _TRACKED.append(out)
+    return out
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked intermediate; returns how many."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

@@ -37,18 +37,14 @@ class CodeLab:
 
         params = merge_params(issue_types)
         which = list(issue_types) if issue_types else None
-        issues, summary, info = run_pipeline(self.df, params, which)
-        # accretion semantics (utils/utils.py:101-118): re-running with new
-        # issue types joins new columns onto previous results by key
-        if self.issues is not None:
-            prev_cols = [
-                c
-                for c in self.issues.columns
-                if c not in issues.columns or c in ("repo", "path", "commit")
-            ]
-            issues = issues.join(
-                self.issues.select(*prev_cols), ["repo", "path", "commit"], "left"
-            )
+        # accretion semantics (utils/utils.py:101-118): a second call
+        # builds on the previous result frame, so raw property columns
+        # (including the expensive single-pass UDF properties) are REUSED
+        # — with_properties' defer-set skips columns already present
+        # (reference P9, image_property_issue_manager.py:222-230).
+        # Recomputed issue types overwrite their columns in place.
+        base = self.issues if self.issues is not None else self.df
+        issues, summary, info = run_pipeline(base, params, which)
         self.issues = issues
         # recomputed issue types overwrite, others kept (imagelab.py:305-313)
         from cleanvision_spark.operators.summary import merge_summaries, property_statistics
@@ -106,6 +102,44 @@ class CodeLab:
             lines.append("")
         return "\n".join(lines)
 
+    def report_markdown(self, num_rows: int = 4, max_prevalence: float = 0.5) -> str:
+        """Markdown report artifact — the viz recast of the reference's
+        exemplar grids (utils/viz_manager.py:88-116): per issue a table
+        of the most-severe exemplar rows instead of an image grid."""
+        from cleanvision_spark.operators.duplicates import exact_duplicate_sets
+        from cleanvision_spark.operators.summary import (
+            largest_sets,
+            prevalence_filter,
+            top_k_severe,
+        )
+
+        if self.issues is None:
+            raise RuntimeError("run find_issues first")
+        total = self.issues.count()
+        summary = prevalence_filter(self.issue_summary, total, max_prevalence)
+        lines = ["# CodeLab report", "", f"Rows analyzed: **{total}**", ""]
+        lines += ["| issue type | files |", "|---|---|"]
+        rows = [r for r in summary.collect() if r["num_files"]]
+        for row in rows:
+            lines.append(f"| {row['issue_type']} | {row['num_files']} |")
+        for row in rows:
+            issue = row["issue_type"]
+            lines += ["", f"## {issue}", ""]
+            if issue == "exact_duplicates" and "sha256" in self.issues.columns:
+                lines += ["| set size | first member |", "|---|---|"]
+                for r in largest_sets(
+                    exact_duplicate_sets(self.issues), k=num_rows
+                ).collect():
+                    lines.append(f"| {r['n_members']} | `{r['members'][0]}` |")
+            else:
+                lines += ["| exemplar | score |", "|---|---|"]
+                top = top_k_severe(self.issues, issue, k=num_rows)
+                for r in top.select("repo", "path", score_col(issue)).collect():
+                    lines.append(
+                        f"| `{r['repo']}/{r['path']}` | {r[score_col(issue)]:.4f} |"
+                    )
+        return "\n".join(lines) + "\n"
+
     # -- save/load (imagelab.py:667-703, serialize.py) ---------------------
     def save(self, path: str, force: bool = False) -> None:
         mode = "overwrite" if force else "errorifexists"
@@ -115,6 +149,8 @@ class CodeLab:
         cols = [c for c in self.issues.columns if c not in drop]
         self.issues.select(*cols).write.mode(mode).parquet(f"{path}/issues")
         self.issue_summary.write.mode(mode).parquet(f"{path}/issue_summary")
+        with open(os.path.join(path, "report.md"), "w") as f:
+            f.write(self.report_markdown())
         from cleanvision_spark import __version__
 
         manifest = {

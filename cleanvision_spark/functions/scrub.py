@@ -8,7 +8,15 @@ is a stable per-row invariant (BASELINE.json input_hint).
 Patterns kept to the regex subset with identical semantics in Java
 (Spark), RE2 (DuckDB oracle), and Python re (the synthetic-corpus label
 generator scrubs with re as an independent implementation) — that
-three-way agreement is itself a correctness check.
+three-way agreement is itself a correctness check. To make that subset
+real rather than assumed:
+- no shorthand ``\\s``/``\\w`` — explicit ASCII classes instead (Java's
+  ``\\s`` matches \\x0B, RE2's does not; Python's ``\\w`` is
+  Unicode-aware, Java/RE2's are ASCII);
+- the Python path passes ``re.ASCII`` so ``\\b`` is ASCII in all three;
+- known residual divergence (documented, not patched): RE2's ``(?i)``
+  case-folds Unicode (e.g. U+212A KELVIN SIGN matches ``k``) while
+  Java/Python-ASCII fold only ASCII — irrelevant for ASCII corpora.
 """
 
 from __future__ import annotations
@@ -20,9 +28,9 @@ from pyspark.sql import functions as F
 SCRUB_RULES: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"AKIA[0-9A-Z]{16}", "<AWSKEY>"),
-    (r"(?i)(api[_-]?key|secret|token|passwd|password)([\"']?\s*[:=]\s*[\"'])[^\"']{6,}([\"'])", r"$1$2<SECRET>$3"),
+    (r"(?i)(api[_-]?key|secret|token|passwd|password)([\"']?[ \t\r\n\f]*[:=][ \t\r\n\f]*[\"'])[^\"']{6,}([\"'])", r"$1$2<SECRET>$3"),
     (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    (r"(?i)\b(fuck\w*|shit\w*|bitch\w*|asshole\w*|bastard\w*)\b", "<TOXIC>"),
+    (r"(?i)\b(fuck[0-9A-Za-z_]*|shit[0-9A-Za-z_]*|bitch[0-9A-Za-z_]*|asshole[0-9A-Za-z_]*|bastard[0-9A-Za-z_]*)\b", "<TOXIC>"),
 ]
 
 # Python-re replacement strings (Java/RE2 use $1, Python uses \1)
@@ -41,11 +49,12 @@ def scrub_column(content: Column | str = "content") -> Column:
 
 def scrub_text_py(s: str) -> str:
     """Independent Python-re implementation, used by the synthetic-corpus
-    generator to produce expected labels (and in unit tests)."""
+    generator to produce expected labels (and in unit tests). re.ASCII
+    pins \\b to the ASCII semantics Java and RE2 use."""
     import re
 
     for pattern, repl in PY_SCRUB_RULES:
-        s = re.sub(pattern, repl, s)
+        s = re.sub(pattern, repl, s, flags=re.ASCII)
     return s
 
 

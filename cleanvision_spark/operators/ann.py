@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ANN_SEED = 42
-# 6 sign bits x 8 tables: measured on the sf0.001 embeddings ->
-# ~13% candidate rate with 0.5 recall@10 (random near-orthogonal data is
-# the worst case for hyperplane LSH; correlated real embeddings do better)
+# 6 sign bits x 8 tables, measured on the sf0.001 embeddings (random
+# near-orthogonal data — the worst case for hyperplane LSH; correlated
+# real embeddings do far better): exact buckets ~13% candidate rate /
+# 0.5 recall@10; with the default 1-bit multi-probe ~63% / 0.89 mean
+# (min 0.7) recall@10; 2-bit probe reaches 1.0. The probe level is the
+# recall/candidate-rate knob — only the query side pays for it.
 N_PLANES = 6
 N_TABLES = 8
 
@@ -158,20 +161,44 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def query_probe_buckets(query_vec: list[float], multiprobe: int = 1) -> list[int]:
+    """Multi-probe bucket set for a query: the exact bucket per table
+    plus, for ``multiprobe >= 1``, every 1-bit-flipped neighbor (and
+    2-bit for >= 2). A true neighbor that lands one hyperplane away from
+    the query still shares a probed bucket, which is what lifts recall
+    without adding tables. Only the QUERY side expands — the data table
+    keeps N_TABLES buckets per row, so index size and shuffle volume are
+    unchanged; the probe list is a tiny literal array in the filter."""
+    qb = [int(b) for b in signs_for(np.array([query_vec], dtype=np.float64))[0]]
+    probes = set(qb)
+    if multiprobe >= 1:
+        for b in qb:
+            for i in range(N_PLANES):
+                probes.add(b ^ (1 << i))
+    if multiprobe >= 2:
+        for b in qb:
+            for i in range(N_PLANES):
+                for j in range(i + 1, N_PLANES):
+                    probes.add(b ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine only over rows sharing >= 1 LSH
-    bucket with the query. At 10^12 rows the bucketed table is
-    pre-materialized and bucket-partitioned; here it is computed inline."""
-    qbuckets = signs_for(np.array([query_vec], dtype=np.float64))[0].tolist()
+    """Approximate top-k: exact cosine only over rows sharing >= 1
+    (multi-probed) LSH bucket with the query. At 10^12 rows the bucketed
+    table is pre-materialized and bucket-partitioned; here it is
+    computed inline. Default 1-bit multi-probe: recall@10 >= 0.8 on the
+    sf0.001 embeddings (near-orthogonal worst-case data; 0.5 without
+    multi-probe), asserted in tests/test_ann_textqc.py."""
+    probes = query_probe_buckets(query_vec, multiprobe)
     cand = df.withColumn("_b", lsh_buckets_udf(F.col(vec_col))).filter(
-        F.arrays_overlap(
-            F.col("_b"), F.array(*[F.lit(int(b)) for b in qbuckets])
-        )
+        F.arrays_overlap(F.col("_b"), F.array(*[F.lit(b) for b in probes]))
     )
     return brute_force_topk(cand.drop("_b"), query_vec, k, id_col, vec_col)

@@ -11,7 +11,13 @@ skewed keys.
 
 Tie semantics: a right row at exactly t matches a left row at t
 (right sorts before left on equal timestamps), matching DuckDB's
-ASOF JOIN (l.ts >= r.ts) used as the correctness oracle.
+ASOF JOIN (l.ts >= r.ts) used as the correctness oracle. Among right
+rows that tie on (by, on) the one with the greatest value tuple wins —
+the window orderBy tiebreaks on the value columns so results are
+partitioning/sort-order invariant (DuckDB leaves right-side ties
+undefined, so the oracle query pre-reduces its right side to
+max(value) per (by, on), which is the same rule). Right rows with NULL
+value columns are carried per-column (last non-null), as before.
 """
 
 from __future__ import annotations
@@ -50,9 +56,15 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # value-column tiebreak: right rows tying on (by, on) get a total
+    # order, so last_value() is deterministic at any partitioning
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col("_side").asc(),
+            *[F.asc_nulls_first(f"_r_{c}") for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

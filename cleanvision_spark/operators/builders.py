@@ -127,7 +127,7 @@ def build_odd_size(df: DataFrame, params: dict[str, Any]) -> DataFrame:
 def build_exact_duplicates(df: DataFrame, params: dict[str, Any]) -> DataFrame:
     from cleanvision_spark.operators.duplicates import exact_duplicates_full
 
-    return exact_duplicates_full(df)
+    return exact_duplicates_full(df, hash_type=params.get("hash_type", "sha256"))
 
 
 @register_issue("near_duplicates", kind="group")

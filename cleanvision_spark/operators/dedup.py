@@ -49,15 +49,17 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     Same plan shape as operators/duplicates.near_duplicate_scores but for
     generic tables (no sha256 distinctness requirement — any shared
     bucket of >= 2 rows counts)."""
-    from pyspark import StorageLevel
-
+    from cleanvision_spark.cache import tracked_persist
     from cleanvision_spark.functions.hashing import minhash_bands_udf
 
-    # persisted so the signature UDF runs once (two consumers below)
-    ex = df.select(
-        F.col(id_col),
-        F.explode(minhash_bands_udf(F.col(text_col))).alias("_bh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted so the signature UDF runs once (two consumers below);
+    # tracked so long sessions can release it (cache.release_tracked)
+    ex = tracked_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(minhash_bands_udf(F.col(text_col))).alias("_bh"),
+        )
+    )
     buckets = (
         ex.groupBy("_bh")
         .agg(F.count(F.lit(1)).alias("_bcnt"), F.min(id_col).alias("_bmin"))
@@ -83,9 +85,14 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
 
 
 def dedup_simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    from cleanvision_spark.cache import tracked_persist
     from cleanvision_spark.functions.hashing import simhash64_udf
 
-    out = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    # persisted: `out` feeds both the groupBy and the join back — without
+    # the persist the SimHash UDF evaluates twice per row
+    out = tracked_persist(
+        df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    )
     counts = out.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id")
     )
@@ -161,11 +168,16 @@ def dedup_simhash_hamming(
     distance (xor + bit_count, pure JVM) filters. Exhaustive for
     k <= n_blocks - 1.
     """
+    from cleanvision_spark.cache import tracked_persist
     from cleanvision_spark.functions.hashing import simhash64_udf
 
     bits_per = 64 // n_blocks
-    hashed = df.select(
-        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash")
+    # persisted: `blocks` (derived below) is self-joined as l/r, so
+    # without the persist the SimHash UDF evaluates on both sides
+    hashed = tracked_persist(
+        df.select(
+            F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash")
+        )
     )
     blocks = hashed.select(
         "id",

@@ -36,6 +36,37 @@ def with_sha256(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("sha256", F.sha2(F.col(content_col), 256))
 
 
+# hash families selectable via the exact_duplicates ``hash_type`` param —
+# the recast of the reference's hash_type in {md5, phash, whash, ahash,
+# dhash} (duplicate_issue_manager.py:18-44,75-86). sha256/md5/xxhash64
+# are pure JVM; "normalized" catches formatting-only dups; "fingerprint"
+# and "simhash" reuse the UDF hash kernels (functions/hashing.py).
+HASH_TYPES = ("sha256", "md5", "xxhash64", "normalized", "fingerprint", "simhash")
+
+
+def content_hash_expr(hash_type: str, content_col: str = "content") -> F.Column:
+    c = F.col(content_col)
+    if hash_type == "sha256":
+        return F.sha2(c, 256)
+    if hash_type == "md5":
+        return F.md5(c)
+    if hash_type == "xxhash64":
+        return F.xxhash64(c).cast("string")
+    if hash_type == "normalized":
+        from cleanvision_spark.operators.dedup import normalized_text
+
+        return F.sha2(normalized_text(content_col), 256)
+    if hash_type == "fingerprint":
+        from cleanvision_spark.functions.hashing import fingerprint64_udf
+
+        return fingerprint64_udf(c).cast("string")
+    if hash_type == "simhash":
+        from cleanvision_spark.functions.hashing import simhash64_udf
+
+        return simhash64_udf(c).cast("string")
+    raise ValueError(f"unknown hash_type {hash_type!r}; one of {HASH_TYPES}")
+
+
 def exact_duplicate_scores(df: DataFrame) -> DataFrame:
     """Add exact_duplicates_score / is_exact_duplicates_issue.
 
@@ -74,8 +105,7 @@ def near_duplicate_scores(
     """
     params = params or {}
     max_chars = int(params.get("max_chars", 65536))
-    from pyspark import StorageLevel
-
+    from cleanvision_spark.cache import tracked_persist
     from cleanvision_spark.functions.hashing import minhash_bands_udf
 
     if "sha256" not in df.columns:
@@ -92,13 +122,13 @@ def near_duplicate_scores(
     # distinctness key = xxhash64(sha256): 8 bytes in the exploded shuffle
     # instead of the 64-char sha string (distinctness preserved; collision
     # odds 2^-64 per pair)
-    ex = (
+    ex = tracked_persist(
         df.select(
             *KEY_COLS,
             F.xxhash64(F.col("sha256")).alias("_sha64"),
             F.explode(band_expr).alias("_bh"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     buckets = ex.groupBy("_bh").agg(
         F.count(F.lit(1)).alias("_bcnt"),
         F.count_distinct("_sha64").alias("_nsha"),
@@ -127,21 +157,37 @@ def near_duplicate_scores(
     )
 
 
-def exact_duplicates_full(df: DataFrame) -> DataFrame:
-    """Score + flag + canonical marker in ONE groupBy on sha256.
+def exact_duplicates_full(df: DataFrame, hash_type: str = "sha256") -> DataFrame:
+    """Score + flag + canonical marker in ONE groupBy on the selected
+    content hash (``hash_type``, default sha256 — see HASH_TYPES).
 
     Count and min-key are computed in the same aggregation (one shuffle,
     one join) — separate exact_duplicate_scores + with_exact_canonical
     passes cost an extra scan, shuffle and join at scale.
     """
-    if "sha256" not in df.columns:
-        df = with_sha256(df)
     key = F.struct(*[F.col(c) for c in KEY_COLS])
-    agg = df.groupBy("sha256").agg(
-        F.count(F.lit(1)).alias("_dup_cnt"),
-        F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
-    )
-    out = df.join(agg, "sha256", "left")
+    if hash_type == "sha256":
+        if "sha256" not in df.columns:
+            df = with_sha256(df)
+        agg = df.groupBy("sha256").agg(
+            F.count(F.lit(1)).alias("_dup_cnt"),
+            F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+        )
+        out = df.join(agg, "sha256", "left")
+    else:
+        # slim (key, hash) projection; persisted for UDF families so the
+        # hash evaluates once despite feeding both the agg and the join
+        hashes = df.select(*KEY_COLS, content_hash_expr(hash_type).alias("_dup_hash"))
+        if hash_type in ("fingerprint", "simhash"):
+            from cleanvision_spark.cache import tracked_persist
+
+            hashes = tracked_persist(hashes)
+        agg = hashes.groupBy("_dup_hash").agg(
+            F.count(F.lit(1)).alias("_dup_cnt"),
+            F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+        )
+        per_row = hashes.join(agg, "_dup_hash").drop("_dup_hash")
+        out = df.join(per_row, KEY_COLS, "left")
     return (
         out.withColumn(
             score_col("exact_duplicates"), F.lit(1.0) / F.col("_dup_cnt")

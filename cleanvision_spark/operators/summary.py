@@ -50,6 +50,37 @@ def prevalence_filter(
     )
 
 
+def prevalence_filtered_summary(
+    df: DataFrame, issues: list[str], max_prevalence: float = 0.5
+) -> DataFrame:
+    """issue_summary + prevalence filter in ONE aggregation job.
+
+    The denominator (total row count) comes from the same single agg
+    that computes the flag sums — a separate ``df.count()`` would
+    re-execute the whole upstream issues plan (global-stats agg, dup
+    shuffles) just for the total, which at 100 TB doubles the job.
+    """
+    aggs = [
+        F.sum(F.col(flag_col(i)).cast("long")).alias(i)
+        for i in issues
+        if flag_col(i) in df.columns
+    ] + [F.count(F.lit(1)).alias("__total__")]
+    wide = df.agg(*aggs)
+    names = [f.name for f in wide.schema.fields if f.name != "__total__"]
+    stack_expr = "stack({n}, {pairs}) as (issue_type, num_files)".format(
+        n=len(names), pairs=", ".join(f"'{n}', `{n}`" for n in names)
+    )
+    return (
+        wide.selectExpr(stack_expr, "__total__")
+        .filter(
+            F.col("num_files").cast("double") / F.col("__total__").cast("double")
+            < max_prevalence
+        )
+        .select("issue_type", "num_files")
+        .orderBy(F.desc("num_files"), F.asc("issue_type"))
+    )
+
+
 def merge_summaries(prev: DataFrame | None, new: DataFrame) -> DataFrame:
     """Recomputed issue types overwrite previous summary rows; others are
     kept (imagelab.py:305-313 replace+concat semantics)."""
@@ -133,9 +164,19 @@ def largest_sets(sets_df: DataFrame, k: int = 4) -> DataFrame:
     ).limit(k)
 
 
-def random_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic random exemplar sample (T3, imagelab.py:643-658)."""
-    return df.orderBy(F.rand(seed)).limit(n)
+def random_sample(
+    df: DataFrame, n: int, seed: int = 42, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic random exemplar sample (T3, imagelab.py:643-658).
+
+    Orders by a content-derived hash (xxhash64 of the key columns +
+    seed), not F.rand(seed): rand is seeded per-partition, so its sample
+    changes with partitioning/parallelism — a violation of the repo's
+    partition-invariance invariant for anything fed into reports.
+    """
+    keys = key_cols or [c for c in ("repo", "path", "commit") if c in df.columns] or list(df.columns)
+    h = F.xxhash64(*[F.col(c) for c in keys], F.lit(seed))
+    return df.orderBy(h, *[F.asc(c) for c in keys]).limit(n)
 
 
 def top_k_severe(df: DataFrame, issue: str, k: int = 4, key_cols: list[str] | None = None) -> DataFrame:

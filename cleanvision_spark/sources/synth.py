@@ -108,9 +108,13 @@ def _clean_content(rng: np.random.Generator, lang: str) -> str:
     return header + "\n".join(blocks)
 
 
-def _noise(rng: np.random.Generator, n_chars: int, width: int = 64) -> str:
-    alphabet = list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/")
-    chars = rng.choice(np.array(alphabet), n_chars)
+_B64_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+
+def _noise(
+    rng: np.random.Generator, n_chars: int, width: int = 64, alphabet: str = _B64_ALPHABET
+) -> str:
+    chars = rng.choice(np.array(list(alphabet)), n_chars)
     out = []
     for i in range(0, n_chars, width):
         out.append("".join(chars[i : i + width]))
@@ -187,6 +191,36 @@ def _planted(rng: np.random.Generator) -> list[tuple[str, str, str, dict]]:
         "# this fucking hack works\n"
     )
     rows.append(("pii", "python", pii, {}))
+    # light-threshold re-confirmation exemplars (round 2): more gibberish
+    # shapes around the recalibrated threshold (config.py light note).
+    # Appended last so earlier planted contents keep their rng draws.
+    rows.append(
+        ("light_narrow", "python", _noise(rng, 2500, width=40), {"light": True})
+    )
+    rows.append(
+        (
+            "light_mixed",
+            "python",
+            _noise(
+                rng,
+                3000,
+                width=72,
+                alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,;",
+            ),
+            {"light": True},
+        )
+    )
+    # near-threshold case (label path scores ~0.49 vs threshold 0.5):
+    # no intended flag asserted — exercises exact Spark/label agreement
+    # right at the boundary
+    rows.append(
+        (
+            "punct_soup",
+            "python",
+            _noise(rng, 2000, width=60, alphabet="}{[]()<>!@#$%^&*;:,.~|\\/-_=+"),
+            {},
+        )
+    )
     return rows
 
 

@@ -61,20 +61,35 @@ def stream_quality_filter(
     return out.withColumn("keep", ~drop)
 
 
-def foreach_batch_dedup_sink(index_dir: str, out_dir: str):
+def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
     """foreachBatch sink that exactly-dedups a scored stream against all
-    previously-seen content: each micro-batch left-anti-joins the
-    persistent sha256 index (batch-maintained parquet), writes the
-    genuinely-new rows to ``out_dir``, and appends their hashes to the
-    index. Exact duplicate detection is cross-row state that does NOT
-    belong in unbounded streaming state — the index is bounded only by
-    distinct content and lives in storage, not executor memory."""
-    import os
+    previously-seen content. Exact duplicate detection is cross-row
+    state that does NOT belong in unbounded streaming state — the index
+    is bounded only by distinct content and lives in storage, not
+    executor memory.
+
+    Idempotent under foreachBatch's at-least-once replay: every write is
+    an OVERWRITE of a batch-keyed partition directory
+    (``batchid=<run_id>-<epoch_id>``), and the index read EXCLUDES the
+    current batch id — so a replayed epoch recomputes the same ``fresh``
+    set (same files per epoch is the file-source + checkpoint guarantee)
+    and overwrites both directories with identical content, whether the
+    previous attempt crashed before, between, or after the two writes.
+    ``fresh`` is computed once (persisted across the two writes).
+
+    ``run_id`` must be STABLE across restarts of the same query (derive
+    it from the checkpoint location) and UNIQUE across distinct queries
+    feeding the same index — epoch ids restart at 0 with a new
+    checkpoint, and colliding batch ids would break the replay
+    exclusion.
+    """
+    from pyspark.errors import AnalysisException
 
     from cleanvision_spark.operators.duplicates import with_sha256
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        batchid = f"{run_id}-{epoch_id}"
         hashed = with_sha256(batch_df)
         # dedup within the batch itself first (keep min key per sha)
         w_min = hashed.groupBy("sha256").agg(
@@ -83,15 +98,26 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str):
         hashed = hashed.join(w_min, "sha256").filter(
             F.struct("repo", "path", "commit") == F.col("_k")
         ).drop("_k")
-        if os.path.exists(os.path.join(index_dir, "_SUCCESS")) or (
-            os.path.isdir(index_dir) and os.listdir(index_dir)
-        ):
-            seen = spark.read.parquet(index_dir).select("sha256")
+        try:
+            # partition discovery exposes `batchid`; pruning the current
+            # batch makes a replay see exactly the pre-crash index state
+            seen = (
+                spark.read.option("basePath", index_dir)
+                .parquet(index_dir)
+                .filter(F.col("batchid") != batchid)
+                .select("sha256")
+            )
             fresh = hashed.join(seen, "sha256", "left_anti")
-        else:
+        except AnalysisException:  # first batch ever: no index yet
             fresh = hashed
-        fresh.write.mode("append").parquet(out_dir)
-        fresh.select("sha256").write.mode("append").parquet(index_dir)
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("overwrite").parquet(f"{out_dir}/batchid={batchid}")
+            fresh.select("sha256").write.mode("overwrite").parquet(
+                f"{index_dir}/batchid={batchid}"
+            )
+        finally:
+            fresh.unpersist()
 
     return _sink
 

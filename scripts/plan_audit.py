@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Regenerate docs/PLANS.md — physical-plan audit of the flagship plans.
+
+Counts, per plan: parquet scans, Arrow UDF stages, row-python UDFs,
+broadcast vs sort-merge joins, cached reuse (InMemoryTableScan),
+exchanges, the first pushed-filter list, and the first read schema.
+Snapshots from local[8], sf0.01, AQE on.
+
+Usage: python scripts/plan_audit.py   (writes docs/PLANS.md)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def metrics(df) -> dict[str, object]:
+    p = plan_str(df)
+    out: dict[str, object] = {
+        "parquet scans": len(re.findall(r"Scan parquet|FileScan parquet", p)),
+        "Arrow UDF stages": p.count("ArrowEvalPython"),
+        "row-python UDFs": p.count("BatchEvalPython"),
+        "broadcast joins": p.count("BroadcastHashJoin")
+        + p.count("BroadcastNestedLoopJoin"),
+        "sort-merge joins": p.count("SortMergeJoin"),
+        "cached reuse": p.count("InMemoryTableScan"),
+        "exchanges": p.count("Exchange"),
+    }
+    pf = [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", p) if m]
+    if pf:
+        out["pushed filters"] = f"`{pf[0][:90]}`"
+    rs = re.findall(r"ReadSchema: (struct<[^\n]*)", p)
+    if rs:
+        out["read schema (first scan)"] = f"`{rs[0][:90]}`"
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.config import merge_params
+    from cleanvision_spark.session import get_spark
+
+    spark = get_spark("plan_audit", cores=8, shuffle_partitions=8)
+    import __spark_entry__ as e
+
+    e._ensure_shipped(spark)
+
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.ann import brute_force_topk
+    from cleanvision_spark.operators.dedup import dedup_simhash, dedup_simhash_hamming
+    from cleanvision_spark.plans.pipeline import quality_filter
+    from cleanvision_spark.sources.corpus import corpus_from_documents, read_corpus
+
+    params = merge_params(None)
+    corpus = corpus_from_documents(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    sections: list[tuple[str, str, dict]] = []
+
+    sections.append((
+        "Full quality-filter pipeline",
+        "Nine issues + scrub + keep over the corpus. One `udf_properties` Arrow "
+        "stage feeds dark/light/grayscale/low_information; MinHash bands appear "
+        "twice in the printed tree but materialize once via the persisted "
+        "signature table (cached-reuse rows). The extra parquet scans are the "
+        "cheap pruned-column branches of the global stats and duplicate "
+        "groupings — at cluster scale each reads only its needed columns.",
+        metrics(quality_filter(corpus, params)),
+    ))
+    release_tracked()
+
+    sections.append((
+        "Partition-pruned corpus read",
+        "Lang filter and projection are pushed into the scan (partition pruning "
+        "on a lang-partitioned Iceberg table on a cluster).",
+        metrics(read_corpus(spark, f"{SF}/documents.parquet", langs=["es"]).select("doc_id", "lang")),
+    ))
+
+    sections.append((
+        "ANN brute-force top-k",
+        "Cosine via built-in higher-order functions (zero Python); orderBy+limit "
+        "compiles to TakeOrderedAndProject — per-partition heaps, no global sort.",
+        metrics(brute_force_topk(emb, qvec, 10)),
+    ))
+
+    sections.append((
+        "TPC-H Q1-style aggregation",
+        "Two HashAggregates = map-side partial + final; the shipdate predicate "
+        "reaches the scan.",
+        metrics(e.queries()["tpch_q1"](spark, SF)),
+    ))
+
+    sections.append((
+        "Broadcast dimension join",
+        "Fact table joins two broadcast dims; no shuffle of the fact before the "
+        "final agg key.",
+        metrics(e.queries()["revenue_by_nation"](spark, SF)),
+    ))
+
+    sections.append((
+        "SimHash dedup (equality groups)",
+        "The hashed projection is persisted, so the SimHash UDF evaluates once "
+        "per row even though it feeds both the bucket agg and the join back — "
+        "every ArrowEvalPython in the tree sits under an InMemoryTableScan "
+        "(cached reuse == Arrow stages).",
+        metrics(dedup_simhash(docs, "doc_id")),
+    ))
+    release_tracked()
+
+    sections.append((
+        "SimHash Hamming<=3 pairs (pigeonhole blocks)",
+        "Same single-evaluation guarantee for the l/r self-join: both sides "
+        "scan the persisted hash table; candidates are an equi-join on "
+        "(block_id, block_val), never a cross join.",
+        metrics(dedup_simhash_hamming(docs, "doc_id")),
+    ))
+    release_tracked()
+
+    sections.append((
+        "Prevalence-filtered summary (single job)",
+        "Flag sums AND the total row count come from ONE aggregation "
+        "(stack-unpivoted afterwards) — no separate count() job re-executing "
+        "the issues plan for the denominator.",
+        metrics(e.queries()["prevalence_filter"](spark, SF)),
+    ))
+    release_tracked()
+
+    lines = [
+        "# Physical-plan audit (generated)",
+        "",
+        "Regenerate with `python scripts/plan_audit.py`. Snapshots from",
+        "`local[8]`, sf0.01, AQE on. Every operator below was checked for:",
+        "filter/projection pushdown, Arrow (never row-wise) Python, broadcast vs",
+        "sort-merge joins, and single-evaluation of expensive UDF stages.",
+    ]
+    for title, blurb, m in sections:
+        lines += ["", f"### {title}", "", blurb, "", "| metric | value |", "|---|---|"]
+        lines += [f"| {k} | {v} |" for k, v in m.items()]
+    with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+    print("wrote docs/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

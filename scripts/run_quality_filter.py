@@ -72,10 +72,25 @@ def main() -> None:
         print(json.dumps({"status": "partial", "done_buckets": run.done_buckets()}))
         return
     # lang-partitioned output mirrors the input pruning scheme, so
-    # downstream consumers get partition pruning for free
-    result.write.mode("overwrite").partitionBy("lang").parquet(args.output)
-    kept = result.filter("keep").count()
-    total = result.count()
+    # downstream consumers get partition pruning for free. Row/kept
+    # metrics ride the SAME write job via observe() — counting them with
+    # separate actions would re-execute the assembly plan (dup shuffles
+    # included) two more times.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("qf_metrics")
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    )
+    observed.write.mode("overwrite").partitionBy("lang").parquet(args.output)
+    total = int(obs.get["rows"])
+    kept = int(obs.get["kept"] or 0)
+    from cleanvision_spark.cache import release_tracked
+
+    release_tracked()
     metrics = {"status": "complete", "rows": total, "kept": kept,
                "dropped": total - kept, "bucket_metrics": run.metrics()}
     with open(os.path.join(args.checkpoint, "run_summary.json"), "w") as f:

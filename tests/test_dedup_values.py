@@ -1,0 +1,143 @@
+"""Exact-value verification of the no-oracle queries (VERDICT r1 #3):
+dedup_minhash / dedup_simhash / doc_fingerprints / langid_surprisal are
+not SQL-expressible, so the driver only row-counts them — these tests
+pin their VALUES against an independent driver-side path (the pure
+Python kernels + plain-dict bucket logic, the same strategy as the
+golden scrub three-way parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.schema import CORPUS_SCHEMA
+from cleanvision_spark.sources.synth import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """sf0.001 documents + the same planted variants the driver queries
+    use (__spark_entry__._docs_planted)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    src = base.filter(F.col("doc_id") < 8)
+    norm = src.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat(
+            F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit("  ")
+        ).alias("text"),
+    )
+    near = src.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" zqnearmarker")).alias("text"),
+    )
+    return base.unionByName(norm).unionByName(near)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_dedup_minhash_values(docs, docs_pdf):
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.functions.hashing import minhash_bands
+    from cleanvision_spark.operators.dedup import dedup_minhash
+
+    buckets: dict[int, list[int]] = {}
+    for _, r in docs_pdf.iterrows():
+        for bh in minhash_bands(r["text"]):
+            buckets.setdefault(bh, []).append(int(r["doc_id"]))
+    exp_k: dict[int, int] = {}
+    exp_min: dict[int, int] = {}
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        m = min(ids)
+        for i in ids:
+            exp_k[i] = max(exp_k.get(i, 0), len(ids))
+            exp_min[i] = min(exp_min.get(i, m), m)
+
+    got = {int(r["doc_id"]): r for r in dedup_minhash(docs, "doc_id").collect()}
+    assert len(got) == len(docs_pdf)
+    for i, r in got.items():
+        if i in exp_k:
+            assert r["is_near_duplicate"], i
+            assert abs(r["dedup_score"] - 1.0 / exp_k[i]) < 1e-12, i
+            assert r["is_canonical"] == (exp_min[i] == i), i
+        else:
+            assert not r["is_near_duplicate"] and r["dedup_score"] == 1.0, i
+            assert r["is_canonical"], i
+    # the planted norm (identical token stream) and near (one appended
+    # token) variants are all found
+    for i in range(8):
+        assert got[i]["is_near_duplicate"]
+        assert got[i + 1000000]["is_near_duplicate"]
+        assert got[i + 2000000]["is_near_duplicate"]
+        assert got[i]["is_canonical"]  # original id is the group min
+    release_tracked()
+
+
+def test_dedup_simhash_values(docs, docs_pdf):
+    from collections import Counter
+
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.functions.hashing import simhash64
+    from cleanvision_spark.operators.dedup import dedup_simhash
+
+    exp_hash = {int(r["doc_id"]): simhash64(r["text"]) for _, r in docs_pdf.iterrows()}
+    cnt = Counter(exp_hash.values())
+    canon: dict[int, int] = {}
+    for i in sorted(exp_hash):
+        canon.setdefault(exp_hash[i], i)
+
+    got = {int(r["doc_id"]): r for r in dedup_simhash(docs, "doc_id").collect()}
+    assert len(got) == len(exp_hash)
+    for i, r in got.items():
+        assert r["simhash"] == exp_hash[i], i
+        assert r["dup_count"] == cnt[exp_hash[i]], i
+        assert r["is_duplicate"] == (cnt[exp_hash[i]] > 1), i
+        assert r["is_canonical"] == (canon[exp_hash[i]] == i), i
+    # norm variants tokenize identically to their originals -> same simhash
+    for i in range(8):
+        assert got[i + 1000000]["simhash"] == got[i]["simhash"]
+        assert got[i]["is_duplicate"]
+    release_tracked()
+
+
+def test_doc_fingerprint_values(docs, docs_pdf):
+    from cleanvision_spark.functions.hashing import fingerprint64
+    from cleanvision_spark.operators.textqc import doc_fingerprints
+
+    got = {
+        int(r["doc_id"]): r["fingerprint"]
+        for r in doc_fingerprints(docs, "doc_id").collect()
+    }
+    for _, r in docs_pdf.iterrows():
+        assert got[int(r["doc_id"])] == fingerprint64(r["text"])
+    # whitespace-normalized equality: norm variant == original,
+    # near variant (extra token) != original
+    for i in range(8):
+        assert got[i + 1000000] == got[i]
+        assert got[i + 2000000] != got[i]
+
+
+def test_langid_surprisal_values(spark):
+    from cleanvision_spark.functions.langid import predict_lang
+    from cleanvision_spark.functions.perplexity import surprisal_quantiles
+    from cleanvision_spark.operators.properties import with_properties
+
+    corpus, _ = generate_corpus(n_clean=24, seed=9)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    out = with_properties(df, udf_props=True).select(
+        "path", "content", "lang_pred", "q_p99", "q_mean"
+    ).toPandas()
+    assert len(out) == len(corpus)
+    for _, r in out.iterrows():
+        assert r["lang_pred"] == predict_lang(r["content"]), r["path"]
+        sq = surprisal_quantiles(r["content"])
+        assert abs(r["q_p99"] - sq["q_p99"]) < 1e-12, r["path"]
+        assert abs(r["q_mean"] - sq["q_mean"]) < 1e-12, r["path"]

@@ -58,6 +58,8 @@ def test_planted_exemplars_flagged(golden):
     for path, issue in [
         ("src/dark.py", "dark"),
         ("src/light.py", "light"),
+        ("src/light_narrow.py", "light"),
+        ("src/light_mixed.py", "light"),
         ("src/wide.py", "odd_aspect_ratio"),
         ("src/near_empty.py", "low_information"),
         ("src/repeat_char.py", "low_information"),

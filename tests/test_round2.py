@@ -1,0 +1,211 @@
+"""Round-2 hardening tests: selectable hash families, property reuse on
+CodeLab accretion, markdown report artifact, approx odd_size stats,
+as-of right-tie determinism, partition-invariant sampling, and
+single-evaluation of the SimHash UDF (plan-level)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.schema import CORPUS_SCHEMA
+from cleanvision_spark.sources.synth import generate_corpus
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_type_families(spark):
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.duplicates import (
+        HASH_TYPES,
+        exact_duplicates_full,
+    )
+
+    rows = [
+        ("r", "a.py", "c1", "python", "Hello   World"),
+        ("r", "b.py", "c2", "python", "hello world"),  # case+space variant
+        ("r", "c.py", "c3", "python", "Hello   World"),  # exact dup of a
+        ("r", "e.py", "c5", "python", "Hello World"),  # space-only variant
+        ("r", "d.py", "c4", "python", "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    for ht in HASH_TYPES:
+        out = {
+            r["path"]: r for r in exact_duplicates_full(df, hash_type=ht).collect()
+        }
+        # exact dup caught by every family
+        assert out["a.py"]["is_exact_duplicates_issue"], ht
+        assert out["c.py"]["is_exact_duplicates_issue"], ht
+        assert not out["d.py"]["is_exact_duplicates_issue"], ht
+        # case+space variant: only the lowercasing/normalizing families
+        assert out["b.py"]["is_exact_duplicates_issue"] == (
+            ht in ("normalized", "fingerprint")
+        ), ht
+        # space-only variant: those two plus token-based simhash
+        assert out["e.py"]["is_exact_duplicates_issue"] == (
+            ht in ("normalized", "fingerprint", "simhash")
+        ), ht
+        # canonical = min (repo, path, commit) member of the group
+        assert out["a.py"]["_is_canonical_exact_duplicates"], ht
+        assert not out["c.py"]["_is_canonical_exact_duplicates"], ht
+    with pytest.raises(ValueError):
+        exact_duplicates_full(df, hash_type="phash")
+    release_tracked()
+
+
+def test_hash_type_plumbed_through_params(spark):
+    """The issue-param surface honors exact_duplicates.hash_type
+    (reference duplicate_issue_manager.py:75-86)."""
+    from cleanvision_spark.config import merge_params
+    from cleanvision_spark.plans.pipeline import attach_issues
+
+    rows = [
+        ("r", "a.py", "c1", "python", "Hello   World"),
+        ("r", "b.py", "c2", "python", "hello world"),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    plain = attach_issues(
+        df, merge_params(None), ["exact_duplicates"]
+    ).toPandas().set_index("path")
+    assert not plain.loc["a.py", "is_exact_duplicates_issue"]
+    norm = attach_issues(
+        df,
+        merge_params({"exact_duplicates": {"hash_type": "normalized"}}),
+        ["exact_duplicates"],
+    ).toPandas().set_index("path")
+    assert norm.loc["a.py", "is_exact_duplicates_issue"]
+    assert norm.loc["b.py", "is_exact_duplicates_issue"]
+
+
+def test_accretion_reuses_udf_properties(spark):
+    """Second find_issues call must not add a second udf_properties
+    Arrow stage — property columns are reused (reference P9,
+    image_property_issue_manager.py:222-230)."""
+    from cleanvision_spark import CodeLab
+
+    corpus, _ = generate_corpus(n_clean=16, seed=11)
+    lab = CodeLab(spark.createDataFrame(corpus, CORPUS_SCHEMA))
+    lab.find_issues({"dark": {}})  # needs the single-pass UDF properties
+    n1 = _plan(lab.issues).count("ArrowEvalPython")
+    assert n1 >= 1
+    lab.find_issues({"light": {}})  # UDF-backed too: must reuse q_* columns
+    n2 = _plan(lab.issues).count("ArrowEvalPython")
+    assert n2 == n1, "second call added a UDF-properties stage"
+    assert "is_dark_issue" in lab.issues.columns
+    assert "is_light_issue" in lab.issues.columns
+    # values identical to a fresh single-shot run of both issues
+    both = CodeLab(lab.df).find_issues({"dark": {}, "light": {}})
+    a = lab.issues.select("path", "is_dark_issue", "is_light_issue").toPandas()
+    b = both.issues.select("path", "is_dark_issue", "is_light_issue").toPandas()
+    merged = a.merge(b, on="path", suffixes=("", "_x"), validate="1:1")
+    assert (merged["is_dark_issue"] == merged["is_dark_issue_x"]).all()
+    assert (merged["is_light_issue"] == merged["is_light_issue_x"]).all()
+
+
+def test_report_markdown_artifact(spark, tmp_path):
+    from cleanvision_spark import CodeLab
+
+    corpus, _ = generate_corpus(n_clean=16, seed=7)
+    lab = CodeLab(spark.createDataFrame(corpus, CORPUS_SCHEMA))
+    lab.find_issues()
+    md = lab.report_markdown(num_rows=2)
+    assert md.startswith("# CodeLab report")
+    assert "| issue type | files |" in md
+    assert "| exemplar | score |" in md
+    out = str(tmp_path / "lab")
+    lab.save(out, force=True)
+    with open(os.path.join(out, "report.md")) as f:
+        assert f.read() == lab.report_markdown()
+
+
+def test_odd_size_stats_method_approx(spark):
+    """percentile_approx variant (cluster-scale path) agrees with the
+    exact default on flags."""
+    from cleanvision_spark.config import merge_params
+    from cleanvision_spark.plans.pipeline import attach_issues
+
+    corpus, _ = generate_corpus(n_clean=40, seed=3)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    exact = attach_issues(df, merge_params(None), ["odd_size"]).select(
+        "path", "is_odd_size_issue"
+    ).toPandas()
+    approx = attach_issues(
+        df,
+        merge_params({"odd_size": {"stats_method": "approx"}}),
+        ["odd_size"],
+    ).select("path", "is_odd_size_issue").toPandas()
+    merged = exact.merge(approx, on="path", suffixes=("_e", "_a"), validate="1:1")
+    agree = (merged["is_odd_size_issue_e"] == merged["is_odd_size_issue_a"]).mean()
+    assert agree >= 0.95
+    # the planted giant outlier is flagged by both
+    g = merged[merged["path"] == "src/giant.py"]
+    assert bool(g["is_odd_size_issue_e"].iloc[0]) and bool(g["is_odd_size_issue_a"].iloc[0])
+
+
+def test_asof_right_tie_rule(spark):
+    """Right rows tying on (by, on): greatest value tuple wins, at any
+    partitioning (ADVICE r1: the window used to have no total order)."""
+    from cleanvision_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20), (2, 10)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 300), (1, 10, 200), (2, 5, 7)],
+        "user_id long, ts long, event_id long",
+    )
+    for parts in (1, 3, 11):
+        out = asof_join(
+            left.repartition(parts),
+            right.repartition(parts),
+            on="ts",
+            by=["user_id"],
+            value_cols=["event_id"],
+        ).collect()
+        got = {(r["user_id"], r["ts"]): r["event_id_asof"] for r in out}
+        assert got == {(1, 10): 300, (1, 20): 300, (2, 10): 7}, parts
+
+
+def test_random_sample_partition_invariant(spark):
+    from cleanvision_spark.operators.summary import random_sample
+
+    corpus, _ = generate_corpus(n_clean=40, seed=5)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    a = [r["path"] for r in random_sample(df.repartition(2), 5).collect()]
+    b = [r["path"] for r in random_sample(df.repartition(13), 5).collect()]
+    assert a == b  # F.rand(seed) would differ here (per-partition seeding)
+    c = [r["path"] for r in random_sample(df.repartition(13), 5, seed=99).collect()]
+    assert c != a  # the seed actually varies the sample
+
+
+def test_simhash_udf_single_eval(spark):
+    """Both SimHash dedup plans must evaluate the UDF once per row: every
+    ArrowEvalPython occurrence in the plan sits under an
+    InMemoryTableScan (the persisted hashed projection)."""
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.dedup import dedup_simhash, dedup_simhash_hamming
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for fn in (dedup_simhash, dedup_simhash_hamming):
+        p = _plan(fn(docs, "doc_id"))
+        n_udf, n_cache = p.count("ArrowEvalPython"), p.count("InMemoryTableScan")
+        assert n_udf >= 1 and n_cache == n_udf, (fn.__name__, n_udf, n_cache)
+    assert release_tracked() >= 2
+
+
+def test_release_tracked_counts(spark):
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.dedup import dedup_minhash
+
+    release_tracked()
+    docs = spark.createDataFrame(
+        [(i, f"one two three {i}") for i in range(10)], "doc_id long, text string"
+    )
+    dedup_minhash(docs, "doc_id").count()
+    assert release_tracked() == 1
+    assert release_tracked() == 0

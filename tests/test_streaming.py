@@ -56,7 +56,7 @@ def test_foreach_batch_dedup(spark, tmp_path):
         .parquet(src)
     )
     q = (
-        stream.writeStream.foreachBatch(foreach_batch_dedup_sink(idx, out))
+        stream.writeStream.foreachBatch(foreach_batch_dedup_sink(idx, out, run_id="r0"))
         .trigger(availableNow=True)
         .start()
     )
@@ -66,20 +66,56 @@ def test_foreach_batch_dedup(spark, tmp_path):
     assert kept.count() == n_distinct  # exactly one row per distinct content
     assert kept.select("sha256").distinct().count() == n_distinct
 
-    # replaying the same stream into the same index adds nothing new
+    # replaying the same stream into the same index adds nothing new;
+    # a distinct query over the same index needs its own run_id (epoch
+    # ids restart with a new checkpoint)
     stream2 = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     q2 = (
-        stream2.writeStream.foreachBatch(foreach_batch_dedup_sink(idx, out))
+        stream2.writeStream.foreachBatch(
+            foreach_batch_dedup_sink(idx, out, run_id="r1")
+        )
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .trigger(availableNow=True)
         .start()
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == n_distinct
+
+
+def test_foreach_batch_dedup_replay_idempotent(spark, tmp_path):
+    """Re-invoking the sink with the SAME (run_id, epoch_id) — what a
+    crash-replay does — must leave the output unchanged, whether the
+    first attempt finished both writes or only the first one."""
+    from cleanvision_spark.streaming.stream import foreach_batch_dedup_sink
+
+    corpus, _ = generate_corpus(n_clean=8, seed=3)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = foreach_batch_dedup_sink(idx, out, run_id="rX")
+
+    b0 = df.limit(6)
+    sink(b0, 0)
+    first = spark.read.parquet(out).drop("batchid").toPandas()
+    sink(b0, 0)  # full replay of epoch 0
+    again = spark.read.parquet(out).drop("batchid").toPandas()
+    assert len(first) == len(again)
+    assert set(first["sha256"]) == set(again["sha256"])
+
+    # crash between output write and index write: simulate by deleting
+    # the index partition for epoch 1, then replaying epoch 1
+    b1 = df
+    sink(b1, 1)
+    import shutil
+
+    n_total = spark.read.parquet(out).count()
+    shutil.rmtree(f"{idx}/batchid=rX-1")
+    sink(b1, 1)  # replay after partial commit
+    assert spark.read.parquet(out).count() == n_total
+    assert spark.read.parquet(out).select("sha256").distinct().count() == n_total
 
 
 def test_stream_event_windows(spark):
