@@ -123,6 +123,26 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
     t("ann_brute_topk", lambda: len(brute_force_topk(emb, qvec, 10).collect()))
     t("ann_lsh_topk", lambda: len(lsh_topk(emb, qvec, 10).collect()))
 
+    # indexed serving path: bucket-partitioned index built once
+    # (untimed — amortized across queries at scale), then partition-
+    # pruned probes per query. NOTE: at sandbox sf the ~56 tiny
+    # partition-dir reads cost more than one full scan of 5k rows, so
+    # this entry can read slower than ann_lsh_topk here — the pruning
+    # pays off when a full scan is 100 TB and the probes are a few
+    # partitions (tests assert result equality + PartitionFilters)
+    import shutil
+    import tempfile
+
+    from cleanvision_spark.operators.ann import lsh_index, lsh_topk_indexed
+
+    idx_dir = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        lsh_index(emb).write.mode("overwrite").partitionBy("bucket").parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        t("ann_lsh_indexed", lambda: len(lsh_topk_indexed(index, qvec, 10).collect()))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     import __spark_entry__ as entrymod
 
     t("tpch_q1", lambda: entrymod.queries()["tpch_q1"](spark, SF_DIR).count())

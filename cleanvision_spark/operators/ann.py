@@ -183,6 +183,76 @@ def query_probe_buckets(query_vec: list[float], multiprobe: int = 1) -> list[int
     return sorted(probes)
 
 
+def lsh_index(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Materializable LSH index: one row per (bucket, id, vec).
+
+    This is the 10^12-row serving path: write it ONCE partitioned by
+    ``bucket`` (``.write.partitionBy("bucket")`` / Iceberg partition
+    transform), then every query is a partition-pruned scan of ~56 probe
+    buckets + exact cosine over just those rows — the signature UDF cost
+    is paid at index-build time, never per query. ``lsh_topk`` computes
+    the same thing inline for one-shot use.
+    """
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(lsh_buckets_udf(F.col(vec_col))).alias("bucket"),
+    )
+
+
+def lsh_topk_indexed(
+    index_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Top-k against a pre-built ``lsh_index`` table: probe-bucket filter
+    (pushed to the scan — partition pruning when the index is written
+    partitioned by bucket), dedup candidates, exact cosine. Returns the
+    same results as ``lsh_topk`` on the source table."""
+    probes = query_probe_buckets(query_vec, multiprobe)
+    cand = (
+        index_df.filter(F.col("bucket").isin(probes))
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable IVF index: the source rows + their coarse-cluster
+    id. Write partitioned by ``cluster`` so ``ivf_topk_indexed`` probes
+    are partition-pruned scans; assignment cost is paid once."""
+    return df.withColumn("cluster", ivf_assign_udf(centroids)(F.col(vec_col)))
+
+
+def ivf_topk_indexed(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a pre-built ``ivf_index`` table (same results as
+    ``ivf_topk`` on the source table)."""
+    q = np.array(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = index_df.filter(F.col("cluster").isin(probes)).select(id_col, vec_col)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -123,10 +123,16 @@ def dedup_embedding_cosine(
     from cleanvision_spark.operators.ann import cosine_expr, lsh_buckets_udf
 
     if block_col is None:
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("vec"),
-            F.explode(lsh_buckets_udf(F.col(vec_col))).alias("_blk"),
+        # persisted: `base` is self-joined as l/r below, so without the
+        # persist the bucket UDF would evaluate on both sides
+        from cleanvision_spark.cache import tracked_persist
+
+        base = tracked_persist(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.explode(lsh_buckets_udf(F.col(vec_col))).alias("_blk"),
+            )
         )
     else:
         base = df.select(

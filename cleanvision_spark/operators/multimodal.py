@@ -1,11 +1,20 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (PIL/librosa/ffmpeg are not in this
-container): ``decode_media`` raises NotImplementedError unless the
-optional library is importable. Everything Spark-side is real and
-tested — the schema, the mapInPandas batch plumbing, partitioning, and
-a deterministic fake feature extractor (byte statistics + a blake2b-
-seeded pseudo-embedding) standing in where the real decoder would run.
+Decode coverage is format-tiered:
+- REAL decoders, zero external deps: PPM/PGM images (P2/P3/P5/P6 —
+  header + raw pixels, parsed with numpy) and PCM WAV audio (stdlib
+  ``wave``). ``decode_media`` emits width/height/channels, pixel
+  mean/std, an 8x8 grayscale thumbnail, sample rate / duration / RMS —
+  all computed distributed inside mapInPandas.
+- Codec formats (PNG/JPEG/MP3/MP4) are GATED behind an import-try of
+  the optional library (PIL etc., absent from this container); payloads
+  in those formats decode to ``format='unsupported'`` rows rather than
+  failing the job — at 100 TB a poison payload must never kill a stage.
+
+Everything Spark-side is real and tested — the schema, the mapInPandas
+batch plumbing, partitioning, and a deterministic fake feature extractor
+(byte statistics + a blake2b-seeded pseudo-embedding) standing in where
+a learned encoder would run.
 
 Scale notes: mapInPandas streams Arrow batches through Python without
 materializing the partition; binary payloads never hit the driver; the
@@ -90,17 +99,162 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, FEATURE_SCHEMA)
 
 
-def decode_media(df: DataFrame, target_size: tuple[int, int] = (64, 64)) -> DataFrame:
-    """Real decode/resize — requires PIL, which this container lacks."""
+# --- real decoders (no external deps) --------------------------------------
+
+
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Decode PPM/PGM (P2/P3 ascii, P5/P6 binary) to (h, w, c) uint8.
+
+    The netpbm family is self-describing (magic, dims, maxval, pixels) —
+    decodable with numpy alone, no codec library."""
+    if not b or b[:1] != b"P" or b[1:2] not in b"2356":
+        raise ValueError("not a PPM/PGM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(b[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if b[1:2] in b"36" else 1
+    n = w * h * channels
+    if b[1:2] in b"56":  # binary: exactly one whitespace byte after maxval
+        raw = np.frombuffer(b, dtype=np.uint8, count=n, offset=i + 1)
+    else:  # ascii
+        raw = np.array(b[i:].split()[:n], dtype=np.uint8)
+    return raw.reshape(h, w, channels)
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV to ((n_frames, channels) int16, sample_rate) via
+    the stdlib wave module."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b)) as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, dtype=np.int16).reshape(-1, wf.getnchannels())
+        return arr, wf.getframerate()
+
+
+def thumbnail_gray(img: np.ndarray, size: int = 8) -> np.ndarray:
+    """(size, size) float32 grayscale thumbnail by block averaging —
+    deterministic, numpy-only 'resize' (nearest block mean)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h / size).astype(np.int64)
+    xs = (np.arange(size + 1) * w / size).astype(np.int64)
+    out = np.empty((size, size), dtype=np.float32)
+    for yi in range(size):
+        for xi in range(size):
+            block = gray[ys[yi] : max(ys[yi + 1], ys[yi] + 1),
+                         xs[xi] : max(xs[xi + 1], xs[xi] + 1)]
+            out[yi, xi] = block.mean()
+    return out
+
+
+DECODED_FIELDS = [
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("pixel_mean", T.DoubleType(), True),
+    T.StructField("pixel_std", T.DoubleType(), True),
+    T.StructField("thumb", T.ArrayType(T.FloatType()), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_ms", T.DoubleType(), True),
+    T.StructField("audio_rms", T.DoubleType(), True),
+]
+DECODED_SCHEMA = T.StructType(DECODED_FIELDS)
+
+_NULL_DECODE = {f.name: None for f in DECODED_FIELDS if f.name != "media_id"}
+
+
+def _sniff(b: bytes | None) -> str:
+    if not b:
+        return "empty"
+    if b[:1] == b"P" and b[1:2] in b"2356":
+        return "netpbm"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
+    rec: dict = {"media_id": media_id, **_NULL_DECODE}
+    fmt = _sniff(b)
     try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "media decode requires pillow; install it on the cluster and the "
-            "mapInPandas plumbing in extract_features carries the decoded "
-            "arrays with the same batch shape"
-        ) from exc
-    raise NotImplementedError("real decoder intentionally not implemented here")
+        if fmt == "netpbm":
+            img = decode_ppm(b)
+            rec.update(
+                format="netpbm",
+                width=img.shape[1],
+                height=img.shape[0],
+                channels=img.shape[2],
+                pixel_mean=round(float(img.mean()), 6),
+                pixel_std=round(float(img.std()), 6),
+                thumb=[float(x) for x in thumbnail_gray(img, thumb_size).ravel()],
+            )
+        elif fmt == "wav":
+            arr, rate = decode_wav(b)
+            rec.update(
+                format="wav",
+                channels=arr.shape[1],
+                sample_rate=rate,
+                duration_ms=round(1000.0 * len(arr) / rate, 6),
+                audio_rms=round(float(np.sqrt((arr.astype(np.float64) ** 2).mean())), 6),
+            )
+        elif fmt in ("png", "jpeg"):
+            try:  # pragma: no cover - PIL absent from this container
+                from PIL import Image  # noqa: F401
+
+                rec.update(format=fmt)  # real PIL decode would fill the rest
+            except ImportError:
+                rec.update(format="unsupported")
+        elif fmt == "empty":
+            rec.update(format="empty")
+        else:
+            rec.update(format="unsupported")
+    except Exception:  # poison payload: keep the row, never kill the stage
+        rec.update(format="corrupt")
+    return rec
+
+
+def decode_media(df: DataFrame, thumb_size: int = 8) -> DataFrame:
+    """Distributed decode of self-describing formats (netpbm images, PCM
+    WAV) inside mapInPandas; codec formats degrade to
+    format='unsupported' (or 'corrupt' for unparseable payloads) instead
+    of failing the stage."""
+
+    cols = [f.name for f in DECODED_FIELDS]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                _decode_one(mid, payload, thumb_size)
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(op, DECODED_SCHEMA)
 
 
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -68,6 +68,68 @@ def test_lsh_deterministic(emb):
     assert a == b
 
 
+def test_lsh_recall_floor(emb):
+    """Default 1-bit multi-probe: mean recall@10 >= 0.8 over 20 fixed
+    query vectors (VERDICT r1 #7; was ~0.5 without multi-probe)."""
+    from cleanvision_spark.operators.ann import brute_force_topk, lsh_topk
+
+    rows = emb.filter(F.col("vec_id") < 20).collect()
+    recalls = []
+    for r in rows:
+        q = [float(v) for v in r["embedding"]]
+        truth = {x["vec_id"] for x in brute_force_topk(emb, q, 10).collect()}
+        got = {x["vec_id"] for x in lsh_topk(emb, q, 10).collect()}
+        recalls.append(len(got & truth) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.8, f"mean recall@10 {mean} ({recalls})"
+
+
+def test_lsh_topk_indexed_matches_inline(emb, spark, tmp_path):
+    """The pre-materialized index path returns the same rows as the
+    inline path, and the probe filter prunes partitions of a
+    bucket-partitioned index."""
+    from cleanvision_spark.operators.ann import lsh_index, lsh_topk, lsh_topk_indexed
+
+    path = str(tmp_path / "lsh_index")
+    lsh_index(emb).write.partitionBy("bucket").parquet(path)
+    index = spark.read.parquet(path)
+    q = _qvec(emb)
+    inline = [(r["vec_id"], r["cosine"]) for r in lsh_topk(emb, q, k=10).collect()]
+    indexed = [
+        (r["vec_id"], r["cosine"]) for r in lsh_topk_indexed(index, q, k=10).collect()
+    ]
+    assert inline == indexed
+    plan = lsh_topk_indexed(index, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), "probe filter did not prune partitions"
+
+
+def test_ivf_topk_indexed_matches_inline(emb, spark, tmp_path):
+    from cleanvision_spark.operators.ann import (
+        ivf_fit,
+        ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    centroids = ivf_fit(emb, k=8, sample=256)
+    path = str(tmp_path / "ivf_index")
+    ivf_index(emb, centroids).write.partitionBy("cluster").parquet(path)
+    index = spark.read.parquet(path)
+    q = _qvec(emb)
+    inline = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, centroids, q, k=10, nprobe=4).collect()
+    ]
+    indexed = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_indexed(index, centroids, q, k=10, nprobe=4).collect()
+    ]
+    assert inline == indexed
+
+
 def test_dedup_simhash_hamming(spark):
     from cleanvision_spark.functions.hashing import simhash64
     from cleanvision_spark.operators.dedup import dedup_simhash_hamming

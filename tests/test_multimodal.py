@@ -1,24 +1,55 @@
-"""Multimodal plumbing tests: mapInPandas feature extraction over binary
-payloads with the decode step stubbed (no image libs in this env)."""
+"""Multimodal tests: mapInPandas feature extraction over binary payloads,
+plus real decode of the codec-free formats (netpbm images via numpy, PCM
+WAV via stdlib wave); PNG/JPEG remain gated behind PIL (absent here) and
+degrade to format='unsupported' rows."""
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+
+import numpy as np
 import pytest
 
 from cleanvision_spark.operators.multimodal import (
     EMBED_DIM,
     MEDIA_SCHEMA,
     decode_media,
+    decode_ppm,
+    decode_wav,
     extract_features,
     frame_sample_stub,
+    thumbnail_gray,
 )
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _pgm_ascii_bytes(img2d: np.ndarray) -> bytes:
+    h, w = img2d.shape
+    body = " ".join(str(int(v)) for v in img2d.ravel())
+    return f"P2\n{w} {h}\n255\n{body}\n".encode()
+
+
+def _wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
-        (1, "image", b"\x89PNG fake image bytes" * 50, {"width": "64", "height": "64"}),
-        (2, "audio", b"RIFF fake wav" * 100, {"sample_rate": "16000"}),
+        (1, "image", b"\x89PNG\r\n\x1a\n fake png bytes" * 10, {"width": "64", "height": "64"}),
+        (2, "audio", b"RIFF fake not-really-wav" * 100, {"sample_rate": "16000"}),
         (3, "video", b"\x00\x00ftyp fake mp4" * 200, {"duration_ms": "3500"}),
         (4, "image", b"", {}),
     ]
@@ -28,7 +59,7 @@ def media(spark):
 def test_extract_features(media):
     out = {r["media_id"]: r for r in extract_features(media).collect()}
     assert len(out) == 4
-    assert out[1]["n_bytes"] == 21 * 50
+    assert out[1]["n_bytes"] == len(b"\x89PNG\r\n\x1a\n fake png bytes") * 10
     assert out[4]["n_bytes"] == 0 and out[4]["byte_entropy"] == 0.0
     assert len(out[2]["embedding"]) == EMBED_DIM
     # deterministic: same payload -> same embedding/hash
@@ -41,9 +72,60 @@ def test_extract_features(media):
     assert abs(math.fsum(x * x for x in out[1]["embedding"]) - 1.0) < 1e-5
 
 
-def test_decode_stub_raises(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media)
+def test_decode_ppm_kernel():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    got = decode_ppm(_ppm_bytes(img))
+    assert (got == img).all()
+    gray = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    got2 = decode_ppm(_pgm_ascii_bytes(gray))
+    assert got2.shape == (3, 5, 1)
+    assert (got2[:, :, 0] == gray).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG not netpbm")
+
+
+def test_decode_wav_kernel():
+    rng = np.random.default_rng(6)
+    samples = rng.integers(-2000, 2000, size=(800, 2), dtype=np.int16)
+    arr, rate = decode_wav(_wav_bytes(samples, 8000))
+    assert rate == 8000 and arr.shape == (800, 2)
+    assert (arr == samples).all()
+
+
+def test_decode_media_distributed(spark):
+    """Spark decode matches the driver-side kernels exactly; codec and
+    corrupt payloads degrade to tagged rows instead of failing."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    samples = rng.integers(-5000, 5000, size=(1600, 1), dtype=np.int16)
+    rows = [
+        (1, "image", _ppm_bytes(img), {}),
+        (2, "audio", _wav_bytes(samples, 16000), {}),
+        (3, "image", b"\x89PNG\r\n\x1a\n codec-gated", {}),
+        (4, "image", b"P6\n2 2\n255\n\x00", {}),  # truncated: corrupt
+        (5, "image", None, {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert len(out) == 5
+    r1 = out[1]
+    assert (r1["format"], r1["width"], r1["height"], r1["channels"]) == ("netpbm", 12, 16, 3)
+    assert abs(r1["pixel_mean"] - round(float(img.mean()), 6)) < 1e-9
+    assert abs(r1["pixel_std"] - round(float(img.std()), 6)) < 1e-9
+    expected_thumb = [float(x) for x in thumbnail_gray(img, 8).ravel()]
+    assert r1["thumb"] == pytest.approx(expected_thumb)
+    r2 = out[2]
+    assert (r2["format"], r2["sample_rate"], r2["channels"]) == ("wav", 16000, 1)
+    assert r2["duration_ms"] == pytest.approx(100.0)
+    exp_rms = round(float(np.sqrt((samples.astype(np.float64) ** 2).mean())), 6)
+    assert r2["audio_rms"] == pytest.approx(exp_rms)
+    assert out[3]["format"] == "unsupported"  # PIL absent in this container
+    assert out[4]["format"] == "corrupt"
+    assert out[5]["format"] == "empty"
+    # determinism at different parallelism
+    again = {r["media_id"]: r for r in decode_media(df.repartition(1)).collect()}
+    assert again[1]["thumb"] == r1["thumb"]
 
 
 def test_frame_sample(media):
