@@ -990,7 +990,9 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN length(trim(text)) = 0 THEN 0
                          ELSE length(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens_ws,
                    length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                      x -> length(x) > 0))::BIGINT AS n_tokens_word
+                                      x -> length(x) > 0))::BIGINT AS n_tokens_word,
+                   length(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\r\n\f]+'))::BIGINT AS n_tokens_bpe
             FROM documents
         """,
         "quality_scores": f"""

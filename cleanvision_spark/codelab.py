@@ -30,6 +30,7 @@ class CodeLab:
         self.issue_summary: DataFrame | None = None
         self.info: dict[str, Any] = {}
         self._issue_types: list[str] = []
+        self._total_rows: int | None = None
 
     # -- find_issues (imagelab.py:202-300) --------------------------------
     def find_issues(self, issue_types: dict | None = None) -> "CodeLab":
@@ -46,6 +47,7 @@ class CodeLab:
         base = self.issues if self.issues is not None else self.df
         issues, summary, info = run_pipeline(base, params, which)
         self.issues = issues
+        self._total_rows = None  # lazily re-counted at next report
         # recomputed issue types overwrite, others kept (imagelab.py:305-313)
         from cleanvision_spark.operators.summary import merge_summaries, property_statistics
         from cleanvision_spark.operators.properties import CHEAP_PROPS
@@ -68,13 +70,21 @@ class CodeLab:
         which = list(issue_types) if issue_types else None
         return quality_filter(self.df, params, which)
 
+    def _count_rows(self) -> int:
+        """Total row count, computed once per find_issues generation —
+        report()/report_markdown()/save() share it instead of each
+        re-executing the full issues plan for the denominator."""
+        if self._total_rows is None:
+            self._total_rows = self.issues.count()
+        return self._total_rows
+
     # -- report (imagelab.py:376-471) --------------------------------------
     def report(self, num_rows: int = 4, max_prevalence: float = 0.5) -> str:
         from cleanvision_spark.operators.summary import prevalence_filter, top_k_severe
 
         if self.issues is None:
             raise RuntimeError("run find_issues first")
-        total = self.issues.count()
+        total = self._count_rows()
         summary = prevalence_filter(self.issue_summary, total, max_prevalence)
         lines = ["Issues found in order of severity:", ""]
         for row in summary.collect():
@@ -115,7 +125,7 @@ class CodeLab:
 
         if self.issues is None:
             raise RuntimeError("run find_issues first")
-        total = self.issues.count()
+        total = self._count_rows()
         summary = prevalence_filter(self.issue_summary, total, max_prevalence)
         lines = ["# CodeLab report", "", f"Rows analyzed: **{total}**", ""]
         lines += ["| issue type | files |", "|---|---|"]

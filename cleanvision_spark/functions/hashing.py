@@ -38,17 +38,16 @@ MAX_TOKENS = 16384
 MINHASH_SEED = 42
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
-_PERMS: tuple[np.ndarray, np.ndarray] | None = None
+_PERMS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _perms() -> tuple[np.ndarray, np.ndarray]:
-    global _PERMS
-    if _PERMS is None:
+def _perms(num_perm: int = NUM_PERM) -> tuple[np.ndarray, np.ndarray]:
+    if num_perm not in _PERMS:
         rng = np.random.default_rng(MINHASH_SEED)
-        a = rng.integers(1, int(MERSENNE61), size=NUM_PERM, dtype=np.int64)
-        b = rng.integers(0, int(MERSENNE61), size=NUM_PERM, dtype=np.int64)
-        _PERMS = (a.astype(np.uint64), b.astype(np.uint64))
-    return _PERMS
+        a = rng.integers(1, int(MERSENNE61), size=num_perm, dtype=np.int64)
+        b = rng.integers(0, int(MERSENNE61), size=num_perm, dtype=np.int64)
+        _PERMS[num_perm] = (a.astype(np.uint64), b.astype(np.uint64))
+    return _PERMS[num_perm]
 
 
 def _token_hashes(s: str) -> np.ndarray:
@@ -79,36 +78,65 @@ def _shingle_hashes(s: str, k: int = SHINGLE_K) -> np.ndarray:
     return np.unique(acc)
 
 
-def minhash_signature(s: str | None) -> np.ndarray:
-    """128-value MinHash signature of token shingles (int64)."""
-    x = _shingle_hashes(s or "")
+def minhash_signature(
+    s: str | None, num_perm: int = NUM_PERM, shingle_k: int = SHINGLE_K
+) -> np.ndarray:
+    """num_perm-value MinHash signature of token shingles (int64)."""
+    x = _shingle_hashes(s or "", shingle_k)
     if len(x) == 0:
-        return np.zeros(NUM_PERM, dtype=np.int64)
-    a, b = _perms()
+        return np.zeros(num_perm, dtype=np.int64)
+    a, b = _perms(num_perm)
     # a*x deliberately wraps mod 2^64 (numpy uint64 semantics) before the
     # mod-2^61-1 reduction: still a deterministic, well-mixed hash family.
     vals = (a[:, None] * x[None, :] + b[:, None]) % MERSENNE61
     return vals.min(axis=1).astype(np.int64)
 
 
-def band_hashes(sig: np.ndarray) -> np.ndarray:
-    """Collapse the signature into BANDS bucket keys. Band b combines
+def band_hashes(sig: np.ndarray, bands: int = BANDS) -> np.ndarray:
+    """Collapse the signature into ``bands`` bucket keys. Band b combines
     signature rows [b*R, (b+1)*R); the band index is baked into the key
     so buckets from different bands never collide."""
+    rows_per_band = len(sig) // bands
     sig_u = sig.astype(np.uint64)
-    out = np.arange(BANDS, dtype=np.uint64) + np.uint64(1)
-    for r in range(ROWS_PER_BAND):
-        out = (out * np.uint64(1000003) + sig_u[r::ROWS_PER_BAND][:BANDS]) % MERSENNE61
+    out = np.arange(bands, dtype=np.uint64) + np.uint64(1)
+    for r in range(rows_per_band):
+        out = (out * np.uint64(1000003) + sig_u[r::rows_per_band][:bands]) % MERSENNE61
     return out.astype(np.int64)
 
 
-def minhash_bands(s: str | None) -> list[int]:
-    return band_hashes(minhash_signature(s)).tolist()
+def minhash_bands(
+    s: str | None,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    shingle_k: int = SHINGLE_K,
+) -> list[int]:
+    return band_hashes(minhash_signature(s, num_perm, shingle_k), bands).tolist()
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_bands_udf(s: pd.Series) -> pd.Series:
     return s.map(minhash_bands)
+
+
+def make_minhash_bands_udf(num_perm: int, bands: int, shingle_k: int):
+    """Parameterized band UDF — honors the near_duplicates params
+    (num_perm/bands/shingle_k, config.py) instead of silently using the
+    module defaults. The default triple returns the shared module-level
+    UDF so the common path keeps one plan shape.
+
+    The (bands, rows-per-band) pair sets the LSH detection threshold
+    ~(1/bands)^(bands/num_perm): more bands = catch lower jaccard at a
+    higher false-positive rate."""
+    if (num_perm, bands, shingle_k) == (NUM_PERM, BANDS, SHINGLE_K):
+        return minhash_bands_udf
+    if num_perm % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_perm ({num_perm})")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: minhash_bands(v, num_perm, bands, shingle_k))
+
+    return _udf
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

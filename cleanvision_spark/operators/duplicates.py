@@ -106,7 +106,20 @@ def near_duplicate_scores(
     params = params or {}
     max_chars = int(params.get("max_chars", 65536))
     from cleanvision_spark.cache import tracked_persist
-    from cleanvision_spark.functions.hashing import minhash_bands_udf
+    from cleanvision_spark.functions.hashing import (
+        BANDS,
+        NUM_PERM,
+        SHINGLE_K,
+        make_minhash_bands_udf,
+    )
+
+    # honor the LSH-geometry params (silently ignoring them would make
+    # the declared num_perm/bands/shingle_k surface a lie)
+    bands_udf = make_minhash_bands_udf(
+        int(params.get("num_perm", NUM_PERM)),
+        int(params.get("bands", BANDS)),
+        int(params.get("shingle_k", SHINGLE_K)),
+    )
 
     if "sha256" not in df.columns:
         df = with_sha256(df)
@@ -118,7 +131,7 @@ def near_duplicate_scores(
     if bands_col is not None:
         band_expr = F.col(bands_col)
     else:
-        band_expr = minhash_bands_udf(F.substring(F.col("content"), 1, max_chars))
+        band_expr = bands_udf(F.substring(F.col("content"), 1, max_chars))
     # distinctness key = xxhash64(sha256): 8 bytes in the exploded shuffle
     # instead of the 64-char sha string (distinctness preserved; collision
     # odds 2^-64 per pair)

@@ -18,8 +18,16 @@ STOPWORDS = (
 ).split()
 
 
+# GPT-2-style pretokenizer shape (no merges — the count of pre-merge
+# pieces): a run of letters, digits, or punctuation, each with an
+# optional leading space. ASCII classes only so Java (Spark) and RE2
+# (DuckDB oracle) agree byte-for-byte.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\r\n\f]+"
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + regex 'wordish' tokens + char count."""
+    """Whitespace tokens + regex 'wordish' tokens + BPE-ish pretokenizer
+    pieces + char count."""
     trimmed = F.trim(F.col(text_col))
     ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
@@ -30,11 +38,15 @@ def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
             lambda x: F.length(x) > 0,
         )
     )
+    bpe_tokens = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    )
     return df.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         ws_tokens.cast("long").alias("n_tokens_ws"),
         word_tokens.cast("long").alias("n_tokens_word"),
+        bpe_tokens.cast("long").alias("n_tokens_bpe"),
     )
 
 

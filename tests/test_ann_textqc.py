@@ -165,7 +165,66 @@ def test_quality_and_tokens(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     tc = {r["doc_id"]: r for r in token_counts(df, "doc_id").collect()}
     assert tc[1]["n_tokens_ws"] == 14
-    assert tc[3]["n_tokens_ws"] == 0
+    assert tc[1]["n_tokens_bpe"] == 14  # plain words: one piece per word
+    assert tc[3]["n_tokens_ws"] == 0 and tc[3]["n_tokens_bpe"] == 0
     qs = {r["doc_id"]: r for r in quality_scores(df, "doc_id").collect()}
     assert qs[1]["quality_score"] > qs[2]["quality_score"]
     assert qs[1]["stopword_ratio"] > 0.3
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The BPE-ish pretokenizer count agrees with an independent Python
+    re over real documents (code + mixed punctuation/digits)."""
+    import re
+
+    from cleanvision_spark.operators.textqc import BPE_TOKEN_PATTERN, token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in token_counts(docs, "doc_id").collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
+    for _, r in pdf.iterrows():
+        assert got[r["doc_id"]] == len(pat.findall(r["text"])), r["doc_id"]
+    # shape checks: "don't stop!" -> [don, ', t, stop, !]
+    df = spark.createDataFrame([(1, "don't stop! x2")], "doc_id long, text string")
+    assert token_counts(df, "doc_id").collect()[0]["n_tokens_bpe"] == 7
+
+
+def test_minhash_params_honored(spark):
+    """near_duplicates num_perm/bands/shingle_k change the LSH geometry
+    (previously declared but silently ignored)."""
+    from cleanvision_spark.functions.hashing import (
+        make_minhash_bands_udf,
+        minhash_bands,
+        minhash_bands_udf,
+    )
+    from cleanvision_spark.operators.duplicates import near_duplicate_scores
+
+    # default triple returns the shared module UDF (one plan shape)
+    assert make_minhash_bands_udf(128, 16, 5) is minhash_bands_udf
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_minhash_bands_udf(128, 24, 5)  # bands must divide num_perm
+    # custom geometry still catches a planted near pair, and the kernel
+    # actually produces a different banding
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base.replace("tok7 ", "tokX ")
+    assert minhash_bands(base, 128, 32, 5) != minhash_bands(base)
+    rows = [
+        ("r", "a.py", "c1", "python", base),
+        ("r", "b.py", "c2", "python", near),
+        ("r", "c.py", "c3", "python", "completely different content here"),
+    ]
+    from cleanvision_spark.schema import CORPUS_SCHEMA
+
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    out = near_duplicate_scores(
+        df, {"num_perm": 128, "bands": 32, "shingle_k": 5}
+    ).toPandas().set_index("path")
+    assert out.loc["a.py", "is_near_duplicates_issue"]
+    assert out.loc["b.py", "is_near_duplicates_issue"]
+    assert not out.loc["c.py", "is_near_duplicates_issue"]
+    from cleanvision_spark.cache import release_tracked
+
+    release_tracked()
