@@ -60,6 +60,11 @@ def _ensure_shipped(spark: SparkSession) -> None:
 SF_SMOKE = "/root/testdata/sf0.001"
 CAP = 262144  # MAX_SCORED_CHARS
 
+# must equal cleanvision_spark.functions.text_stats.WS_RUN_RE (tested):
+# explicit ASCII whitespace class so Java (Spark) and RE2 (DuckDB) agree
+# (\s diverges on \x0B between the two engines)
+WS_SQL = "[ \\t\\n\\f\\r]+"
+
 # DuckDB mirror of cleanvision_spark.sources.corpus.corpus_from_documents
 CORPUS_CTE = """
 corpus AS (
@@ -132,10 +137,10 @@ props AS (
     list_sum(list_transform(string_split(substr(content, 1, {CAP}), chr(10)), x -> length(x)))::DOUBLE
       / greatest(length(string_split(substr(content, 1, {CAP}), chr(10))), 1)::DOUBLE AS avg_line_len,
     CASE WHEN length(trim(substr(content, 1, {CAP}))) = 0 THEN 0
-         ELSE length(string_split_regex(trim(substr(content, 1, {CAP})), '\\s+')) END::BIGINT AS n_tokens,
+         ELSE length(string_split_regex(trim(substr(content, 1, {CAP})), '{WS_SQL}')) END::BIGINT AS n_tokens,
     CASE WHEN length(trim(substr(content, 1, {CAP}))) = 0 THEN 0.0
-         ELSE length(list_distinct(string_split_regex(trim(substr(content, 1, {CAP})), '\\s+')))::DOUBLE
-              / length(string_split_regex(trim(substr(content, 1, {CAP})), '\\s+'))::DOUBLE END AS distinct_token_ratio,
+         ELSE length(list_distinct(string_split_regex(trim(substr(content, 1, {CAP})), '{WS_SQL}')))::DOUBLE
+              / length(string_split_regex(trim(substr(content, 1, {CAP})), '{WS_SQL}'))::DOUBLE END AS distinct_token_ratio,
     regexp_matches(substr(substr(content, 1, {CAP}), 1, 4096),
                    '(?i)(do not edit|auto-?generated|generated by|@generated|autogenerated)') AS has_autogen_marker
   FROM corpus
@@ -956,7 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": rf"""
             WITH {DOCS_PLANTED_CTE}, n AS (
               SELECT doc_id,
-                     sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_sha256
+                     sha256(lower(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')))) AS norm_sha256
               FROM docs_p
             ), g AS (
               SELECT norm_sha256, count(*)::BIGINT AS dup_count,
@@ -969,11 +974,11 @@ def oracle_sql() -> dict[str, str]:
                    n.doc_id = g.canonical_id AS is_canonical
             FROM n JOIN g USING (norm_sha256)
         """,
-        "jaccard_pairs": r"""
+        "jaccard_pairs": rf"""
             WITH base AS (
               SELECT doc_id AS id, lang,
-                     list_distinct(string_split_regex(trim(text), '\s+')) AS words,
-                     CAST(floor(length(string_split_regex(trim(text), '\s+'))::DOUBLE / 8.0) AS BIGINT) AS tb
+                     list_distinct(string_split_regex(trim(text), '{WS_SQL}')) AS words,
+                     CAST(floor(length(string_split_regex(trim(text), '{WS_SQL}'))::DOUBLE / 8.0) AS BIGINT) AS tb
               FROM documents
             )
             SELECT l.id AS id_a, r.id AS id_b,
@@ -984,11 +989,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(length(list_intersect(l.words, r.words))::DOUBLE
                         / length(list_distinct(l.words || r.words))::DOUBLE, 6) >= 0.5
         """,
-        "token_counts": r"""
+        "token_counts": rf"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,
                    (CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE length(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens_ws,
+                         ELSE length(string_split_regex(trim(text), '{WS_SQL}')) END)::BIGINT AS n_tokens_ws,
                    length(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                       x -> length(x) > 0))::BIGINT AS n_tokens_word,
                    length(regexp_extract_all(text,
@@ -1000,9 +1005,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      length(text) AS n_chars,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                          ELSE length(string_split_regex(trim(text), '{WS_SQL}')) END AS n_tokens,
                      length(list_intersect(
-                       list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                       list_distinct(string_split_regex(lower(trim(text)), '{WS_SQL}')),
                        {STOPWORDS_SQL})) AS n_stop,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
               FROM documents
@@ -1073,7 +1078,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {CORPUS_PLANTED_CTE},
             h AS (
               SELECT repo, path, commit,
-                     sha256(lower(trim(regexp_replace(content, '\s+', ' ', 'g')))) AS nh
+                     sha256(lower(trim(regexp_replace(content, '{WS_SQL}', ' ', 'g')))) AS nh
               FROM corpus_p
             )
             SELECT repo, path, commit,

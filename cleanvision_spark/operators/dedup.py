@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 
 def normalized_text(col: str = "text") -> F.Column:
-    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    return F.lower(F.trim(F.regexp_replace(F.col(col), WS_RUN_RE, " ")))
 
 
 def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -237,12 +239,14 @@ def jaccard_pairs_blocked(
     equi-keyed (shuffle hash join on the block key, never a cross join).
     This is the LSH-refinement stage; at 10^12 rows the block key should
     be the LSH bucket id itself."""
-    words = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    words = F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RUN_RE))
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in (block_cols or [])],
         words.alias("words"),
-        (F.size(F.split(F.trim(F.col(text_col)), r"\s+")) / token_bucket_width)
+        (F.size(F.split(F.trim(F.col(text_col)), WS_RUN_RE)) / token_bucket_width)
         .cast("long")
         .alias("_tb"),
     )

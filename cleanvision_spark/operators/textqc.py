@@ -28,9 +28,11 @@ BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\r\n\f]+"
 def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + regex 'wordish' tokens + BPE-ish pretokenizer
     pieces + char count."""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
     trimmed = F.trim(F.col(text_col))
     ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS_RUN_RE))
     )
     word_tokens = F.size(
         F.filter(
@@ -53,13 +55,15 @@ def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
 def quality_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Composite quality score from length / stopword ratio / mean word
     length / alpha ratio — the classic heuristic quality filter."""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
     text = F.col(text_col)
     trimmed = F.trim(text)
-    tokens = F.split(trimmed, r"\s+")
+    tokens = F.split(trimmed, WS_RUN_RE)
     n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(tokens))
     n_chars = F.length(text)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(F.split(F.lower(trimmed), r"\s+")), stop_arr))
+    n_stop = F.size(F.array_intersect(F.array_distinct(F.split(F.lower(trimmed), WS_RUN_RE)), stop_arr))
     stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         n_stop.cast("double") / F.least(n_tokens, F.lit(len(STOPWORDS))).cast("double")
     )

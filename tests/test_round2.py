@@ -198,6 +198,29 @@ def test_simhash_udf_single_eval(spark):
     assert release_tracked() >= 2
 
 
+def test_ws_class_parity_with_oracle(spark):
+    """The explicit whitespace class tokenizes \\x0B-containing text
+    identically in Spark (Java regex) and DuckDB (RE2) — the \\s
+    shorthand diverged there (Java counts \\x0B as whitespace, RE2
+    doesn't; ADVICE r1)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+    from cleanvision_spark.operators.textqc import token_counts
+
+    assert e.WS_SQL == WS_RUN_RE
+    txt = "a b\x0bc\td\ne  f"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    got = token_counts(df, "doc_id").collect()[0]["n_tokens_ws"]
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT length(string_split_regex(trim(?), '{e.WS_SQL}'))", [txt]
+    ).fetchone()[0]
+    # 'b\x0bc' is ONE token in BOTH engines now (was 2 in Java under \s)
+    assert got == exp == 5
+
+
 def test_release_tracked_counts(spark):
     from cleanvision_spark.cache import release_tracked
     from cleanvision_spark.operators.dedup import dedup_minhash
