@@ -731,6 +731,39 @@ def _q_events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_in_signup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every event within one hour AFTER any signup by the
+    same user (bucketized interval join — equi-join on (user, bucket),
+    never a cross join; oracle is the naive BETWEEN join)."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    points = ev.select("event_id", "user_id", "ts_s")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts_s").alias("start_s"),
+        (F.col("ts_s") + 3600).alias("end_s"),
+    )
+    out = range_join(
+        points,
+        intervals,
+        point_col="ts_s",
+        start_col="start_s",
+        end_col="end_s",
+        by=["user_id"],
+        value_cols=["signup_event_id"],
+        bucket_width=3600,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("signup_event_id_range").alias("signup_event_id")
+    )
+
+
 def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot events by type per user (explicit value list so the plan is
     a single agg — no extra distinct-values job)."""
@@ -769,6 +802,59 @@ def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_customers_no_finished_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no finished ('F') order — the
+    anti-join plan (broadcast of the filtered key set; the o_orderstatus
+    predicate is pushed into the orders scan)."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(finished, cust.c_custkey == finished.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def _q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, order year): all 2^2 grouping combinations in
+    one pass (expand + single shuffle)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    return (
+        orders.cube("o_orderstatus", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_year").cast("long"), F.lit(-1)).alias("o_year"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def _q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (interpolating, matches DuckDB
+    quantile_cont); the approx sketch variant is exercised via
+    odd_size stats_method=approx."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min cumsum per user — the classic
     window composition."""
@@ -798,8 +884,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "event_sessions": _q_event_sessions,
         "events_asof_signup": _q_events_asof_signup,
+        "events_in_signup_hour": _q_events_in_signup_hour,
         "events_pivot": _q_events_pivot,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
+        "customers_no_finished_order": _q_customers_no_finished_order,
+        "lineitem_quantiles": _q_lineitem_quantiles,
         "near_duplicates": _q_near_duplicates,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_minhash": _q_dedup_minhash,
@@ -921,6 +1011,18 @@ def oracle_sql() -> dict[str, str]:
             ) r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "events_in_signup_hour": """
+            WITH p AS (
+              SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s FROM events
+            ), i AS (
+              SELECT user_id, event_id AS signup_event_id,
+                     floor(epoch(ts))::BIGINT AS s
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, i.signup_event_id
+            FROM p JOIN i
+              ON p.user_id = i.user_id AND p.ts_s BETWEEN i.s AND i.s + 3600
+        """,
         "events_pivot": """
             SELECT user_id,
                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
@@ -937,6 +1039,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "customers_no_finished_order": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+            )
+        """,
+        "orders_cube": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_year, -1)::BIGINT AS o_year,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM (SELECT o_orderstatus, year(o_orderdate) AS o_year, o_totalprice
+                  FROM orders)
+            GROUP BY CUBE (o_orderstatus, o_year)
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   count(*)::BIGINT AS n
+            FROM lineitem
+            GROUP BY 1
         """,
         "event_sessions": """
             WITH g AS (

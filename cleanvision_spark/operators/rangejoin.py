@@ -1,0 +1,68 @@
+"""Range join (point-in-interval) — Spark lacks a native one, and the
+naive formulation `p JOIN i ON p.x BETWEEN i.lo AND i.hi` plans as a
+broadcast-nested-loop / cartesian product that dies at scale.
+
+Bucketization makes it an equi-join: intervals explode to every
+fixed-width bucket they overlap, points hash to their single bucket,
+candidates equi-join on (by..., bucket), and the exact BETWEEN predicate
+refines. Each true (point, interval) pair is produced EXACTLY once (the
+point lives in one bucket, and the interval covers that bucket once in
+its sequence), so no dedup pass is needed. Candidate work is
+O(|intervals| * interval_len / bucket_width + |points|) — pick
+``bucket_width`` near the typical interval length so intervals explode
+to ~1-2 buckets each.
+
+The join columns must be numeric (cast timestamps to epoch seconds
+first); bounds are inclusive on both ends, matching SQL BETWEEN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str],
+    value_cols: list[str],
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """For each point row: all interval rows (same ``by`` group) with
+    start <= point <= end. Returns the point columns plus each
+    ``value_cols`` entry from the interval side as ``<name>_range``.
+
+    ``how='left'`` keeps unmatched points with null range values (one
+    row per match otherwise, like a SQL inner join).
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    pcols = points.columns
+    p = points.withColumn("_bkt", F.floor(F.col(point_col) / w)).alias("p")
+    i = (
+        intervals.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)
+                )
+            ),
+        ).alias("i")
+    )
+    cond = [F.col("p._bkt") == F.col("i._bkt")]
+    cond += [F.col(f"p.{c}") == F.col(f"i.{c}") for c in by]
+    cond.append(
+        F.col(f"p.{point_col}").between(
+            F.col(f"i.{start_col}"), F.col(f"i.{end_col}")
+        )
+    )
+    joined = p.join(i, cond, "left" if how == "left" else "inner")
+    out_cols = [F.col(f"p.{c}").alias(c) for c in pcols]
+    out_cols += [F.col(f"i.{c}").alias(f"{c}_range") for c in value_cols]
+    return joined.select(*out_cols)

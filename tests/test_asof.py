@@ -1,4 +1,4 @@
-"""As-of join semantics on a hand-built frame."""
+"""As-of join and range join semantics on hand-built frames."""
 
 from __future__ import annotations
 
@@ -36,3 +36,52 @@ def test_asof_join_semantics(spark):
         left, right, on="ts", by=["user_id"], value_cols=["event_id"], how="inner"
     )
     assert {r["event_id"] for r in inner.collect()} == {1, 2, 4}
+
+
+def test_range_join_semantics(spark):
+    """Inclusive bounds, multi-bucket intervals, multiple matches per
+    point, no duplicate pairs, left-join nulls — at any partitioning."""
+    import pytest
+
+    from cleanvision_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [
+            (1, 100, 50),   # inside i10 only
+            (2, 100, 100),  # boundary: end of i10 (inclusive) + start of i11
+            (3, 100, 350),  # inside the wide i12 (spans many buckets)
+            (4, 100, 999),  # matches nothing
+            (5, 200, 50),   # other group: matches only i20
+        ],
+        "point_id long, user_id long, x long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 100, 0, 100),
+            (11, 100, 100, 180),
+            (12, 100, 200, 500),  # 300-wide: explodes to several buckets
+            (20, 200, 40, 60),
+        ],
+        "iv_id long, user_id long, lo long, hi long",
+    )
+    for parts in (1, 7):
+        out = range_join(
+            points.repartition(parts),
+            intervals.repartition(parts),
+            point_col="x",
+            start_col="lo",
+            end_col="hi",
+            by=["user_id"],
+            value_cols=["iv_id"],
+            bucket_width=64,
+        ).collect()
+        pairs = sorted((r["point_id"], r["iv_id_range"]) for r in out)
+        assert pairs == [(1, 10), (2, 10), (2, 11), (3, 12), (5, 20)], parts
+    # left join keeps the unmatched point with a null interval
+    left = range_join(
+        points, intervals, "x", "lo", "hi", ["user_id"], ["iv_id"], 64, how="left"
+    ).collect()
+    got4 = [r for r in left if r["point_id"] == 4]
+    assert len(got4) == 1 and got4[0]["iv_id_range"] is None
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "x", "lo", "hi", ["user_id"], ["iv_id"], 0)
