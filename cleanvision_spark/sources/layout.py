@@ -1,0 +1,53 @@
+"""Bucketed table layout — co-located joins without a shuffle.
+
+At 100 TB the dominant cost of a key-key join is shuffling both sides.
+Writing both tables bucketed (and sorted) by the join key pins rows to
+deterministic buckets at WRITE time, so a later join plans as a
+sort-merge join with ZERO Exchange on either side — the shuffle is paid
+once at layout time and amortized over every subsequent join
+(pyspark guide: bucketing for co-located joins; Iceberg's analog is a
+``bucket(N, key)`` partition transform).
+
+Local note: Spark's bucketing metadata lives in the session catalog, so
+these helpers write external tables (explicit ``path``) via
+``saveAsTable`` — plain ``.parquet()`` writes cannot carry bucket specs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external table bucketed+sorted by ``key``."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata comes from the catalog —
+    reading the bare parquet path would lose it)."""
+    return spark.table(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two tables bucketed on the same key with the same bucket
+    count: Spark plans a sort-merge join with no Exchange on either side
+    (asserted in tests/test_layout.py)."""
+    return read_bucketed(spark, left_table).join(
+        read_bucketed(spark, right_table), key, how
+    )

@@ -122,6 +122,103 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
     return _sink
 
 
+def foreach_batch_near_dedup_flags(
+    index_dir: str, out_dir: str, run_id: str = "r0", params: dict | None = None
+):
+    """foreachBatch sink that FLAGS near-duplicates on a stream against
+    all previously-processed content, via a persistent MinHash band
+    index (the streaming analog of near_duplicate_scores).
+
+    Crisp semantics (no connected components, mirroring the batch op's
+    bucket-equality): a row gets
+    - ``is_near_seen``    — shares >= 1 LSH band with any row from an
+      EARLIER micro-batch;
+    - ``is_near_in_batch`` — shares a band with >= 1 distinct-content
+      row in the SAME batch.
+    All rows are emitted with their flags (filtering is the consumer's
+    policy call); every row's bands join the index, so "seen" always
+    means "previously processed", kept or not.
+
+    Same idempotency scheme as ``foreach_batch_dedup_sink``: batch-keyed
+    overwrite directories + own-batch index exclusion, so at-least-once
+    replays rewrite identical content. The band index is storage-bounded
+    (BANDS longs per distinct row), never executor memory.
+    """
+    from pyspark.errors import AnalysisException
+
+    from cleanvision_spark.functions.hashing import BANDS, NUM_PERM, SHINGLE_K, make_minhash_bands_udf
+    from cleanvision_spark.operators.duplicates import with_sha256
+
+    params = params or {}
+    max_chars = int(params.get("max_chars", 65536))
+    bands_udf = make_minhash_bands_udf(
+        int(params.get("num_perm", NUM_PERM)),
+        int(params.get("bands", BANDS)),
+        int(params.get("shingle_k", SHINGLE_K)),
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batchid = f"{run_id}-{epoch_id}"
+        hashed = with_sha256(batch_df)
+        ex = hashed.select(
+            "repo",
+            "path",
+            "commit",
+            F.xxhash64("sha256").alias("_sha64"),
+            F.explode(
+                bands_udf(F.substring(F.col("content"), 1, max_chars))
+            ).alias("_bh"),
+        ).persist()
+        try:
+            try:
+                seen = (
+                    spark.read.option("basePath", index_dir)
+                    .parquet(index_dir)
+                    .filter(F.col("batchid") != batchid)
+                    .select("_bh")
+                    .distinct()
+                )
+                near_seen = (
+                    ex.join(seen, "_bh")
+                    .select("repo", "path", "commit")
+                    .distinct()
+                    .withColumn("is_near_seen", F.lit(True))
+                )
+            except AnalysisException:  # first batch ever: no index yet
+                near_seen = None
+            # in-batch: bucket qualifies with >= 2 distinct contents
+            qual = (
+                ex.groupBy("_bh")
+                .agg(F.count_distinct("_sha64").alias("_nsha"))
+                .filter(F.col("_nsha") >= 2)
+            )
+            near_batch = (
+                ex.join(qual, "_bh")
+                .select("repo", "path", "commit")
+                .distinct()
+                .withColumn("is_near_in_batch", F.lit(True))
+            )
+            out = hashed.join(near_batch, ["repo", "path", "commit"], "left")
+            if near_seen is not None:
+                out = out.join(near_seen, ["repo", "path", "commit"], "left")
+            else:
+                out = out.withColumn("is_near_seen", F.lit(None).cast("boolean"))
+            out = out.withColumn(
+                "is_near_seen", F.coalesce("is_near_seen", F.lit(False))
+            ).withColumn(
+                "is_near_in_batch", F.coalesce("is_near_in_batch", F.lit(False))
+            )
+            out.write.mode("overwrite").parquet(f"{out_dir}/batchid={batchid}")
+            ex.select("_bh").distinct().write.mode("overwrite").parquet(
+                f"{index_dir}/batchid={batchid}"
+            )
+        finally:
+            ex.unpersist()
+
+    return _sink
+
+
 def stream_issue_counts(scored: DataFrame, window: str = "1 minute") -> DataFrame:
     """Windowed issue-count metrics over processing time."""
     flags = [c for c in scored.columns if c.startswith("is_")]

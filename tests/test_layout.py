@@ -1,0 +1,37 @@
+"""Bucketed-layout co-located join: both sides bucketed by the join key
+=> sort-merge join with ZERO Exchange (the 100 TB join strategy — the
+shuffle is paid once at write time)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_colocated_join_no_shuffle(spark, tmp_path):
+    from cleanvision_spark.sources.layout import colocated_join, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = docs.select("doc_id", "lang", "n_chars")
+    right = docs.select("doc_id", F.length("text").alias("text_len"))
+    write_bucketed(left, "t_left_bkt", str(tmp_path / "l"), "doc_id", 4)
+    write_bucketed(right, "t_right_bkt", str(tmp_path / "r"), "doc_id", 4)
+    try:
+        # force SMJ so the assertion is about Exchange, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "t_left_bkt", "t_right_bkt", "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0, plan
+        # and it is still correct
+        out = joined.toPandas()
+        assert len(out) == docs.count()
+        assert (out["n_chars"] == out["text_len"]).all()
+        # contrast: the same join on plain parquet shuffles both sides
+        plain = left.join(right, "doc_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange") >= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_right_bkt")

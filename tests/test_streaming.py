@@ -118,6 +118,47 @@ def test_foreach_batch_dedup_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).select("sha256").distinct().count() == n_total
 
 
+def test_foreach_batch_near_dedup_flags(spark, tmp_path):
+    """Near-dup flags across micro-batches: a near variant arriving in a
+    LATER batch is flagged is_near_seen; an in-batch near pair gets
+    is_near_in_batch; replay of the same epoch is idempotent."""
+    from cleanvision_spark.streaming.stream import foreach_batch_near_dedup_flags
+
+    base = " ".join(f"word{i}" for i in range(120))
+    near1 = base.replace("word7 ", "wordX ")  # near variant of base
+    other = " ".join(f"thing{i}" for i in range(120))
+    near_other = other.replace("thing9 ", "thingY ")
+    rows_b0 = [
+        ("r", "base.py", "c1", "python", base),
+        ("r", "other.py", "c2", "python", other),
+        ("r", "near_other.py", "c3", "python", near_other),  # in-batch pair
+    ]
+    rows_b1 = [
+        ("r", "near1.py", "c4", "python", near1),  # near of batch-0 content
+        ("r", "fresh.py", "c5", "python", " ".join(f"novel{i}" for i in range(120))),
+    ]
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = foreach_batch_near_dedup_flags(idx, out, run_id="rn")
+    sink(spark.createDataFrame(rows_b0, CORPUS_SCHEMA), 0)
+    sink(spark.createDataFrame(rows_b1, CORPUS_SCHEMA), 1)
+    got = {
+        r["path"]: (r["is_near_seen"], r["is_near_in_batch"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["base.py"] == (False, False)
+    assert got["other.py"] == (False, True)
+    assert got["near_other.py"] == (False, True)
+    assert got["near1.py"][0] is True  # near of earlier batch
+    assert got["fresh.py"] == (False, False)
+    # replay epoch 1: identical output, no duplication
+    sink(spark.createDataFrame(rows_b1, CORPUS_SCHEMA), 1)
+    again = {
+        r["path"]: (r["is_near_seen"], r["is_near_in_batch"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got and len(again) == 5
+
+
 def test_stream_event_windows(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     schema = events.schema
