@@ -44,8 +44,21 @@ class CodeLab:
         # — with_properties' defer-set skips columns already present
         # (reference P9, image_property_issue_manager.py:222-230).
         # Recomputed issue types overwrite their columns in place.
-        base = self.issues if self.issues is not None else self.df
-        issues, summary, info = run_pipeline(base, params, which)
+        if self.issues is not None and "content" in self.issues.columns:
+            issues, summary, info = run_pipeline(self.issues, params, which)
+        else:
+            # loaded labs drop content from their saved issues frame:
+            # recompute from self.df and join previous columns back by key
+            issues, summary, info = run_pipeline(self.df, params, which)
+            if self.issues is not None:
+                prev_cols = [
+                    c
+                    for c in self.issues.columns
+                    if c not in issues.columns or c in ("repo", "path", "commit")
+                ]
+                issues = issues.join(
+                    self.issues.select(*prev_cols), ["repo", "path", "commit"], "left"
+                )
         self.issues = issues
         self._total_rows = None  # lazily re-counted at next report
         # recomputed issue types overwrite, others kept (imagelab.py:305-313)

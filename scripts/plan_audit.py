@@ -131,6 +131,14 @@ def main() -> None:
     release_tracked()
 
     sections.append((
+        "Range join (bucketized point-in-interval)",
+        "Intervals explode to fixed-width buckets so the join is an "
+        "equi-join on (user, bucket) + an exact BETWEEN refinement — zero "
+        "CartesianProduct / BroadcastNestedLoopJoin nodes.",
+        metrics(e.queries()["events_in_signup_hour"](spark, SF)),
+    ))
+
+    sections.append((
         "Prevalence-filtered summary (single job)",
         "Flag sums AND the total row count come from ONE aggregation "
         "(stack-unpivoted afterwards) — no separate count() job re-executing "

@@ -25,6 +25,34 @@ def test_incremental_find_issues(spark):
     assert "is_low_information_issue" in lab.issues.columns
 
 
+def test_load_then_accrete(spark, tmp_path):
+    """A loaded lab (issues saved without content) can still accrete new
+    issue types when the original corpus df is supplied to load()."""
+    corpus, _ = generate_corpus(n_clean=16, seed=21)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    lab = CodeLab(df).find_issues({"low_information": {}})
+    out = str(tmp_path / "lab_acc")
+    lab.save(out, force=True)
+    lab2 = CodeLab.load(spark, out, df=df)
+    lab2.find_issues({"blurry": {}})
+    assert "is_blurry_issue" in lab2.issues.columns
+    assert "is_low_information_issue" in lab2.issues.columns
+    got = lab2.issues.select(
+        "path", "is_blurry_issue", "is_low_information_issue"
+    ).toPandas()
+    want = (
+        CodeLab(df)
+        .find_issues({"low_information": {}, "blurry": {}})
+        .issues.select("path", "is_blurry_issue", "is_low_information_issue")
+        .toPandas()
+    )
+    merged = got.merge(want, on="path", suffixes=("", "_x"), validate="1:1")
+    assert (merged["is_blurry_issue"] == merged["is_blurry_issue_x"]).all()
+    assert (
+        merged["is_low_information_issue"] == merged["is_low_information_issue_x"]
+    ).all()
+
+
 def test_report_and_save_load(spark, tmp_path):
     lab = _lab(spark)
     lab.find_issues()
