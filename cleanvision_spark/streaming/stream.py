@@ -82,6 +82,13 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
     feeding the same index — epoch ids restart at 0 with a new
     checkpoint, and colliding batch ids would break the replay
     exclusion.
+
+    Scale note: each batch anti-joins against the FULL index, so as the
+    index grows the per-batch cost is dominated by that join's shuffle.
+    At very large index sizes, periodically compact the accumulated
+    batchid partitions into a table bucketed by a sha256 prefix
+    (sources/layout.write_bucketed) so the per-batch join co-locates
+    instead of reshuffling the index every trigger.
     """
     from pyspark.errors import AnalysisException
 
@@ -142,7 +149,10 @@ def foreach_batch_near_dedup_flags(
     Same idempotency scheme as ``foreach_batch_dedup_sink``: batch-keyed
     overwrite directories + own-batch index exclusion, so at-least-once
     replays rewrite identical content. The band index is storage-bounded
-    (BANDS longs per distinct row), never executor memory.
+    (BANDS longs per distinct row), never executor memory; like the
+    exact sink, compact it periodically into a band-bucketed table
+    (sources/layout.write_bucketed) once it outgrows per-trigger
+    reshuffling.
     """
     from pyspark.errors import AnalysisException
 
