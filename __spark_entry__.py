@@ -27,17 +27,25 @@ if _REPO_DIR not in sys.path:
 _SHIPPED: set[int] = set()
 
 
-def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the cleanvision_spark package to executor Python workers
-    (the local-mode analog of ``spark-submit --py-files pkg.zip``).
-
-    Also releases tracked persisted intermediates from the PREVIOUS
-    query (cleanvision_spark.cache) — every query calls this first and
-    the driver collects each query before building the next, so cached
-    UDF intermediates never accumulate across the 35+-query run."""
+def _prepare(spark: SparkSession) -> None:
+    """Per-query setup: release tracked persisted intermediates from the
+    PREVIOUS query (cleanvision_spark.cache), then ship the package.
+    Every query calls this first and the driver collects each query
+    before building the next, so cached UDF intermediates never
+    accumulate across the 40+-query run. (A caller that builds several
+    queries before collecting any would lose the earlier queries'
+    single-evaluation caches — they recompute correctly, just without
+    the cache; such a caller should skip _prepare and release
+    explicitly.)"""
     from cleanvision_spark.cache import release_tracked
 
     release_tracked()
+    _ensure_shipped(spark)  # ship-only; bench.py also calls this directly
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the cleanvision_spark package to executor Python workers
+    (the local-mode analog of ``spark-submit --py-files pkg.zip``)."""
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
@@ -59,6 +67,21 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 SF_SMOKE = "/root/testdata/sf0.001"
 CAP = 262144  # MAX_SCORED_CHARS
+
+def _epoch_s(colname: str):
+    """Timezone-free epoch seconds for a TIMESTAMP_NTZ column: pure
+    wall-clock arithmetic, matching DuckDB's floor(epoch(ts)) no matter
+    what spark.sql.session.timeZone the driver session uses. The
+    previous cast("timestamp").cast("long") chain routed through the
+    session timezone — a constant shift that cancels in differences and
+    BETWEENs, except across a DST transition where offsets differ by
+    exactly 3600 s (latent; events data spans no DST boundary)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
+    )
+
 
 # must equal cleanvision_spark.functions.text_stats.WS_RUN_RE (tested):
 # explicit ASCII whitespace class so Java (Spark) and RE2 (DuckDB) agree
@@ -205,7 +228,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.sources.corpus import corpus_from_documents
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     return corpus_from_documents(spark, sf_dir)
 
 
@@ -526,7 +549,7 @@ def _q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import dedup_normalized
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     return _r6(
         dedup_normalized(_docs_planted(spark, sf_dir), "doc_id"),
         "doc_id",
@@ -541,7 +564,7 @@ def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import dedup_minhash
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     return _r6(
         dedup_minhash(_docs_planted(spark, sf_dir), "doc_id"),
         "doc_id",
@@ -554,7 +577,7 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import dedup_simhash
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup_simhash(docs, "doc_id").select(
         "doc_id", "simhash", "dup_count", "is_duplicate", "is_canonical"
@@ -564,7 +587,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import dedup_simhash_hamming
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup_simhash_hamming(docs, "doc_id", max_hamming=3)
 
@@ -572,7 +595,7 @@ def _q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.dedup import jaccard_pairs_blocked
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return jaccard_pairs_blocked(docs, "doc_id", block_cols=["lang"], threshold=0.5)
 
@@ -594,7 +617,7 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.textqc import doc_fingerprints
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return doc_fingerprints(docs, "doc_id")
 
@@ -616,9 +639,33 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.ann import lsh_topk
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def _q_ann_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-materialized-index serving path, driven through its
+    operator pair (lsh_index -> lsh_topk_indexed). Here the index is a
+    lazy frame; at scale it is written partitioned by bucket so probes
+    partition-prune (tests/test_ann_textqc.py asserts that plus result
+    equality with the inline path)."""
+    from cleanvision_spark.operators.ann import lsh_index, lsh_topk_indexed
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk_indexed(lsh_index(emb), _query_vec(spark, sf_dir), k=10)
+
+
+def _q_ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.operators.ann import ivf_fit, ivf_index, ivf_topk_indexed
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_fit(emb, k=16, sample=512)
+    return ivf_topk_indexed(
+        ivf_index(emb, centroids), centroids, _query_vec(spark, sf_dir), k=10, nprobe=4
+    )
 
 
 def _q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,7 +680,7 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked scale variant (rows-only check)."""
     from cleanvision_spark.operators.dedup import dedup_embedding_cosine
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return dedup_embedding_cosine(emb, threshold=0.25, block_col=None)
 
@@ -641,7 +688,7 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.ann import ivf_fit, ivf_topk
 
-    _ensure_shipped(spark)
+    _prepare(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = ivf_fit(emb, k=16, sample=512)
     return ivf_topk(emb, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4)
@@ -740,7 +787,7 @@ def _q_events_in_signup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.rangejoin import range_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_s", F.col("ts").cast("timestamp").cast("long")
+        "ts_s", _epoch_s("ts")
     )
     points = ev.select("event_id", "user_id", "ts_s")
     intervals = ev.filter(F.col("event_type") == "signup").select(
@@ -862,10 +909,10 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+        "ts_s", _epoch_s("ts")
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
     ev = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
     ev = ev.withColumn(
         "session_id",
@@ -903,7 +950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_indexed_topk": _q_ann_lsh_indexed_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_indexed_topk": _q_ann_ivf_indexed_topk,
         "embedding_norms": _q_embedding_norms,
         "scrub_sha256": _q_scrub_sha256,
         "quality_filter_full": _q_quality_filter_full,

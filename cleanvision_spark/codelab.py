@@ -164,7 +164,10 @@ class CodeLab:
         return "\n".join(lines) + "\n"
 
     # -- save/load (imagelab.py:667-703, serialize.py) ---------------------
-    def save(self, path: str, force: bool = False) -> None:
+    def save(self, path: str, force: bool = False, report: bool = True) -> None:
+        """``report=False`` skips the markdown artifact — generating it
+        runs extra Spark jobs (per-issue exemplar top-k + the duplicate
+        sets), which a large production save may not want to pay."""
         mode = "overwrite" if force else "errorifexists"
         if self.issues is None:
             raise RuntimeError("run find_issues first")
@@ -172,8 +175,9 @@ class CodeLab:
         cols = [c for c in self.issues.columns if c not in drop]
         self.issues.select(*cols).write.mode(mode).parquet(f"{path}/issues")
         self.issue_summary.write.mode(mode).parquet(f"{path}/issue_summary")
-        with open(os.path.join(path, "report.md"), "w") as f:
-            f.write(self.report_markdown())
+        if report:
+            with open(os.path.join(path, "report.md"), "w") as f:
+                f.write(self.report_markdown())
         from cleanvision_spark import __version__
 
         manifest = {

@@ -199,7 +199,17 @@ def exact_duplicates_full(df: DataFrame, hash_type: str = "sha256") -> DataFrame
             F.count(F.lit(1)).alias("_dup_cnt"),
             F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
         )
-        per_row = hashes.join(agg, "_dup_hash").drop("_dup_hash")
+        # re-group by key before joining back: duplicate (repo,path,commit)
+        # keys must not fan out K rows into K*K (mirrors the per-key agg
+        # in near_duplicate_scores)
+        per_row = (
+            hashes.join(agg, "_dup_hash")
+            .groupBy(*KEY_COLS)
+            .agg(
+                F.max("_dup_cnt").alias("_dup_cnt"),
+                F.min("_canon_key").alias("_canon_key"),
+            )
+        )
         out = df.join(per_row, KEY_COLS, "left")
     return (
         out.withColumn(

@@ -107,8 +107,9 @@ def decode_ppm(b: bytes) -> np.ndarray:
 
     The netpbm family is self-describing (magic, dims, maxval, pixels) —
     decodable with numpy alone, no codec library."""
-    if not b or b[:1] != b"P" or b[1:2] not in b"2356":
-        raise ValueError("not a PPM/PGM payload")
+    if not b or b[:1] != b"P" or b[1:2] not in (b"2", b"3", b"5", b"6"):
+        raise ValueError("not a PPM/PGM payload")  # (b"" is a substring of
+        # any bytes, so `in b"2356"` would pass 1-byte payloads)
     # header: magic, width, height, maxval — whitespace/comment separated
     tokens: list[bytes] = []
     i = 2
@@ -127,9 +128,9 @@ def decode_ppm(b: bytes) -> np.ndarray:
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
-    channels = 3 if b[1:2] in b"36" else 1
+    channels = 3 if b[1:2] in (b"3", b"6") else 1
     n = w * h * channels
-    if b[1:2] in b"56":  # binary: exactly one whitespace byte after maxval
+    if b[1:2] in (b"5", b"6"):  # binary: one whitespace byte after maxval
         raw = np.frombuffer(b, dtype=np.uint8, count=n, offset=i + 1)
     else:  # ascii
         raw = np.array(b[i:].split()[:n], dtype=np.uint8)
@@ -187,7 +188,7 @@ _NULL_DECODE = {f.name: None for f in DECODED_FIELDS if f.name != "media_id"}
 def _sniff(b: bytes | None) -> str:
     if not b:
         return "empty"
-    if b[:1] == b"P" and b[1:2] in b"2356":
+    if b[:1] == b"P" and b[1:2] in (b"2", b"3", b"5", b"6"):
         return "netpbm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"

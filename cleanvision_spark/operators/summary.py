@@ -19,22 +19,34 @@ from pyspark.sql import functions as F
 from cleanvision_spark.config import flag_col, score_col
 
 
+def _flag_sum_stack(
+    df: DataFrame, issues: list[str], with_total: bool
+) -> tuple[DataFrame, str]:
+    """One aggregation of every flag sum (optionally + count(*)) and the
+    stack() expression that unpivots it — shared by issue_summary and
+    prevalence_filtered_summary so the two can't drift."""
+    aggs = [
+        F.sum(F.col(flag_col(i)).cast("long")).alias(i)
+        for i in issues
+        if flag_col(i) in df.columns
+    ]
+    if with_total:
+        aggs.append(F.count(F.lit(1)).alias("__total__"))
+    wide = df.agg(*aggs)
+    names = [f.name for f in wide.schema.fields if f.name != "__total__"]
+    stack_expr = "stack({n}, {pairs}) as (issue_type, num_files)".format(
+        n=len(names), pairs=", ".join(f"'{n}', `{n}`" for n in names)
+    )
+    return wide, stack_expr
+
+
 def issue_summary(df: DataFrame, issues: list[str]) -> DataFrame:
     """One row per issue type: (issue_type, num_files), prevalence desc.
 
     Single agg computes every flag sum; stack() unpivots the 1-row wide
     result — no second scan.
     """
-    aggs = [
-        F.sum(F.col(flag_col(i)).cast("long")).alias(i)
-        for i in issues
-        if flag_col(i) in df.columns
-    ]
-    wide = df.agg(*aggs)
-    names = [f.name for f in wide.schema.fields]
-    stack_expr = "stack({n}, {pairs}) as (issue_type, num_files)".format(
-        n=len(names), pairs=", ".join(f"'{n}', `{n}`" for n in names)
-    )
+    wide, stack_expr = _flag_sum_stack(df, issues, with_total=False)
     return wide.selectExpr(stack_expr).orderBy(
         F.desc("num_files"), F.asc("issue_type")
     )
@@ -60,16 +72,7 @@ def prevalence_filtered_summary(
     re-execute the whole upstream issues plan (global-stats agg, dup
     shuffles) just for the total, which at 100 TB doubles the job.
     """
-    aggs = [
-        F.sum(F.col(flag_col(i)).cast("long")).alias(i)
-        for i in issues
-        if flag_col(i) in df.columns
-    ] + [F.count(F.lit(1)).alias("__total__")]
-    wide = df.agg(*aggs)
-    names = [f.name for f in wide.schema.fields if f.name != "__total__"]
-    stack_expr = "stack({n}, {pairs}) as (issue_type, num_files)".format(
-        n=len(names), pairs=", ".join(f"'{n}', `{n}`" for n in names)
-    )
+    wide, stack_expr = _flag_sum_stack(df, issues, with_total=True)
     return (
         wide.selectExpr(stack_expr, "__total__")
         .filter(

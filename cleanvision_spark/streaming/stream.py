@@ -29,6 +29,28 @@ from cleanvision_spark.schema import CORPUS_SCHEMA
 
 ROW_ISSUES = ["dark", "light", "odd_aspect_ratio", "low_information", "blurry", "grayscale"]
 
+# AnalysisException conditions that mean "no index written yet" — only
+# these fall back to the empty-index path; anything else (schema
+# mismatch, partition conflict) must surface, not silently disable dedup
+_NO_INDEX_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _read_index(spark: SparkSession, index_dir: str, batchid: str) -> DataFrame | None:
+    """Read the persistent index excluding the current batch partition;
+    None when the index genuinely does not exist yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .filter(F.col("batchid") != batchid)
+        )
+    except AnalysisException as exc:
+        if any(c in str(exc) for c in _NO_INDEX_CONDITIONS):
+            return None
+        raise
+
 
 def stream_corpus(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
@@ -90,8 +112,6 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
     (sources/layout.write_bucketed) so the per-batch join co-locates
     instead of reshuffling the index every trigger.
     """
-    from pyspark.errors import AnalysisException
-
     from cleanvision_spark.operators.duplicates import with_sha256
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -105,17 +125,12 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
         hashed = hashed.join(w_min, "sha256").filter(
             F.struct("repo", "path", "commit") == F.col("_k")
         ).drop("_k")
-        try:
-            # partition discovery exposes `batchid`; pruning the current
-            # batch makes a replay see exactly the pre-crash index state
-            seen = (
-                spark.read.option("basePath", index_dir)
-                .parquet(index_dir)
-                .filter(F.col("batchid") != batchid)
-                .select("sha256")
-            )
-            fresh = hashed.join(seen, "sha256", "left_anti")
-        except AnalysisException:  # first batch ever: no index yet
+        # partition discovery exposes `batchid`; pruning the current
+        # batch makes a replay see exactly the pre-crash index state
+        seen = _read_index(spark, index_dir, batchid)
+        if seen is not None:
+            fresh = hashed.join(seen.select("sha256"), "sha256", "left_anti")
+        else:  # first batch ever: no index yet
             fresh = hashed
         fresh = fresh.persist()
         try:
@@ -154,8 +169,6 @@ def foreach_batch_near_dedup_flags(
     (sources/layout.write_bucketed) once it outgrows per-trigger
     reshuffling.
     """
-    from pyspark.errors import AnalysisException
-
     from cleanvision_spark.functions.hashing import BANDS, NUM_PERM, SHINGLE_K, make_minhash_bands_udf
     from cleanvision_spark.operators.duplicates import with_sha256
 
@@ -181,21 +194,15 @@ def foreach_batch_near_dedup_flags(
             ).alias("_bh"),
         ).persist()
         try:
-            try:
-                seen = (
-                    spark.read.option("basePath", index_dir)
-                    .parquet(index_dir)
-                    .filter(F.col("batchid") != batchid)
-                    .select("_bh")
-                    .distinct()
-                )
+            seen = _read_index(spark, index_dir, batchid)
+            if seen is not None:
                 near_seen = (
-                    ex.join(seen, "_bh")
+                    ex.join(seen.select("_bh").distinct(), "_bh")
                     .select("repo", "path", "commit")
                     .distinct()
                     .withColumn("is_near_seen", F.lit(True))
                 )
-            except AnalysisException:  # first batch ever: no index yet
+            else:  # first batch ever: no index yet
                 near_seen = None
             # in-batch: bucket qualifies with >= 2 distinct contents
             qual = (

@@ -16,25 +16,12 @@ from cleanvision_spark.sources.synth import generate_corpus
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    """sf0.001 documents + the same planted variants the driver queries
-    use (__spark_entry__._docs_planted)."""
-    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
-        "doc_id", "lang", "text"
-    )
-    src = base.filter(F.col("doc_id") < 8)
-    norm = src.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        "lang",
-        F.concat(
-            F.lit("  "), F.regexp_replace(F.col("text"), " ", "  "), F.lit("  ")
-        ).alias("text"),
-    )
-    near = src.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        "lang",
-        F.concat(F.col("text"), F.lit(" zqnearmarker")).alias("text"),
-    )
-    return base.unionByName(norm).unionByName(near)
+    """sf0.001 documents + the ACTUAL planted variants the driver
+    queries use — imported, not re-implemented, so any change to the
+    planting is exercised by these value tests."""
+    from __spark_entry__ import _docs_planted
+
+    return _docs_planted(spark, "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
