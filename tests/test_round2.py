@@ -221,6 +221,32 @@ def test_ws_class_parity_with_oracle(spark):
     assert got == exp == 5
 
 
+def test_event_queries_tz_invariant(spark):
+    """Event-time queries must not depend on spark.sql.session.timeZone:
+    epoch math goes through timestampdiff on TIMESTAMP_NTZ (pure
+    wall-clock), so a DST-observing session tz changes nothing."""
+    import __spark_entry__ as e
+
+    keys = ["event_sessions", "events_in_signup_hour", "events_asof_signup"]
+    outs = {}
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            outs[tz] = {}
+            for k in keys:
+                pdf = e.queries()[k](spark, "/root/testdata/sf0.001").toPandas()
+                outs[tz][k] = pdf.sort_values(by=sorted(pdf.columns)).reset_index(
+                    drop=True
+                )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    for k in keys:
+        a, b = outs["UTC"][k], outs["America/Los_Angeles"][k]
+        assert a.shape == b.shape, k
+        assert (a.astype(str).values == b.astype(str).values).all(), k
+
+
 def test_release_tracked_counts(spark):
     from cleanvision_spark.cache import release_tracked
     from cleanvision_spark.operators.dedup import dedup_minhash
