@@ -159,6 +159,24 @@ def test_foreach_batch_near_dedup_flags(spark, tmp_path):
     assert again == got and len(again) == 5
 
 
+def test_dedup_sink_surfaces_bad_index(spark, tmp_path):
+    """A corrupt/foreign index (readable parquet but not the sink's
+    batch-partitioned layout) must raise, not silently disable dedup —
+    only missing-index conditions fall back to the empty-index path."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from cleanvision_spark.streaming.stream import foreach_batch_dedup_sink
+
+    corpus, _ = generate_corpus(n_clean=4, seed=2)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    # plant a foreign parquet at the index location (no batchid layout)
+    spark.range(3).write.parquet(idx)
+    with pytest.raises(AnalysisException):
+        foreach_batch_dedup_sink(idx, out, run_id="rz")(df, 0)
+
+
 def test_stream_event_windows(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     schema = events.schema
