@@ -2,14 +2,18 @@
 
 Decode coverage is format-tiered:
 - REAL decoders, zero external deps: PPM/PGM images (P2/P3/P5/P6 —
-  header + raw pixels, parsed with numpy) and PCM WAV audio (stdlib
+  header + raw pixels, parsed with numpy), PNG (stdlib ``zlib`` IDAT
+  inflate + per-scanline filter reconstruction in numpy — 8-bit
+  non-interlaced, color types 0/2/3/4/6) and PCM WAV audio (stdlib
   ``wave``). ``decode_media`` emits width/height/channels, pixel
   mean/std, an 8x8 grayscale thumbnail, sample rate / duration / RMS —
   all computed distributed inside mapInPandas.
-- Codec formats (PNG/JPEG/MP3/MP4) are GATED behind an import-try of
-  the optional library (PIL etc., absent from this container); payloads
-  in those formats decode to ``format='unsupported'`` rows rather than
-  failing the job — at 100 TB a poison payload must never kill a stage.
+- Remaining codec formats (JPEG/MP3/MP4) are GATED behind an import-try
+  of the optional library (PIL etc., absent from this container);
+  payloads in those formats — and valid-but-out-of-scope PNG variants
+  (16-bit, interlaced) — decode to ``format='unsupported'`` rows rather
+  than failing the job — at 100 TB a poison payload must never kill a
+  stage.
 
 Everything Spark-side is real and tested — the schema, the mapInPandas
 batch plumbing, partitioning, and a deterministic fake feature extractor
@@ -137,6 +141,120 @@ def decode_ppm(b: bytes) -> np.ndarray:
     return raw.reshape(h, w, channels)
 
 
+class UnsupportedMediaVariant(ValueError):
+    """A payload in a recognized format but an out-of-scope variant
+    (16-bit PNG, Adam7 interlace, exotic color type). Distinct from
+    corruption: decode_media tags these 'unsupported', not 'corrupt'."""
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (h, w, c) uint8 with stdlib
+    zlib + numpy only (no PIL): chunk walk, IDAT inflate, then the five
+    scanline filters (None/Sub/Up/Average/Paeth) reconstructed row by
+    row. Palette images are expanded through PLTE to RGB.
+
+    Covers the reference's core decode step (fsspec_dataset.py:55-59 —
+    PIL.Image.open over fetched bytes) for the dominant lossless format.
+    Filters 0/1/2 are fully vectorized (Sub via mod-256 prefix sums);
+    Average/Paeth keep a per-byte loop (left-neighbor data dependency).
+    16-bit depth / interlace raise UnsupportedMediaVariant; structural
+    damage raises ValueError (tagged 'corrupt' by decode_media).
+    """
+    import struct
+    import zlib
+
+    if not b or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + CRC (CRC not verified:
+        # a bad stream fails the zlib inflate / size check below anyway)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if comp != 0 or filt != 0 or w == 0 or h == 0:
+        raise ValueError("bad IHDR")
+    if ct not in _PNG_CHANNELS:
+        raise ValueError(f"bad color type {ct}")
+    if depth != 8 or interlace != 0:
+        raise UnsupportedMediaVariant(
+            f"PNG variant not decoded here (depth={depth}, interlace={interlace})"
+        )
+    nch = _PNG_CHANNELS[ct]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data32 = rows[:, 1:].astype(np.int32)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data32[y]
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: prefix sum per channel offset, mod 256
+            rec = np.cumsum(row.reshape(w, nch).astype(np.int64), axis=0).reshape(
+                stride
+            ) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average (left-dependency: per-byte loop)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * stride
+            for x in range(stride):
+                left = rec_l[x - nch] if x >= nch else 0
+                rec_l[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            rec = np.array(rec_l, dtype=np.int32)
+        elif f == 4:  # Paeth (left-dependency: per-byte loop)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * stride
+            for x in range(stride):
+                a = rec_l[x - nch] if x >= nch else 0
+                up = pl[x]
+                c = pl[x - nch] if x >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec_l[x] = (rl[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.int32)
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int32)
+    img = out.reshape(h, w, nch)
+    if ct == 3:  # palette -> RGB
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise ValueError("palette image without valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(img.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        img = pal[img[:, :, 0]]
+    return img
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to ((n_frames, channels) int16, sample_rate) via
     the stdlib wave module."""
@@ -221,9 +339,31 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
                 channels=arr.shape[1],
                 sample_rate=rate,
                 duration_ms=round(1000.0 * len(arr) / rate, 6),
-                audio_rms=round(float(np.sqrt((arr.astype(np.float64) ** 2).mean())), 6),
+                # a valid zero-frame WAV has no samples: RMS of nothing is
+                # 0.0, not NaN (NaN would poison downstream stats)
+                audio_rms=round(
+                    float(np.sqrt((arr.astype(np.float64) ** 2).mean()))
+                    if len(arr)
+                    else 0.0,
+                    6,
+                ),
             )
-        elif fmt in ("png", "jpeg"):
+        elif fmt == "png":
+            try:
+                img = decode_png(b)
+            except UnsupportedMediaVariant:
+                rec.update(format="unsupported")
+            else:
+                rec.update(
+                    format="png",
+                    width=img.shape[1],
+                    height=img.shape[0],
+                    channels=img.shape[2],
+                    pixel_mean=round(float(img.mean()), 6),
+                    pixel_std=round(float(img.std()), 6),
+                    thumb=[float(x) for x in thumbnail_gray(img, thumb_size).ravel()],
+                )
+        elif fmt == "jpeg":
             try:  # pragma: no cover - PIL absent from this container
                 from PIL import Image  # noqa: F401
 
@@ -240,10 +380,10 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
 
 
 def decode_media(df: DataFrame, thumb_size: int = 8) -> DataFrame:
-    """Distributed decode of self-describing formats (netpbm images, PCM
-    WAV) inside mapInPandas; codec formats degrade to
-    format='unsupported' (or 'corrupt' for unparseable payloads) instead
-    of failing the stage."""
+    """Distributed decode of the dependency-free formats (netpbm + PNG
+    images, PCM WAV) inside mapInPandas; undecodable codec formats
+    degrade to format='unsupported' (or 'corrupt' for unparseable
+    payloads) instead of failing the stage."""
 
     cols = [f.name for f in DECODED_FIELDS]
 

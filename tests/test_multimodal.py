@@ -1,13 +1,18 @@
 """Multimodal tests: mapInPandas feature extraction over binary payloads,
-plus real decode of the codec-free formats (netpbm images via numpy, PCM
-WAV via stdlib wave); PNG/JPEG remain gated behind PIL (absent here) and
-degrade to format='unsupported' rows."""
+plus real decode of the dependency-free formats (netpbm images via numpy,
+PNG via stdlib zlib + numpy, PCM WAV via stdlib wave); JPEG remains gated
+behind PIL (absent here) and degrades to format='unsupported' rows.
+
+The PNG tests encode images with an independent hand-rolled encoder that
+applies each of the five scanline filters FORWARD (spec formulas), so the
+decoder's reconstruction path is checked filter by filter."""
 
 from __future__ import annotations
 
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pytest
@@ -15,7 +20,9 @@ import pytest
 from cleanvision_spark.operators.multimodal import (
     EMBED_DIM,
     MEDIA_SCHEMA,
+    UnsupportedMediaVariant,
     decode_media,
+    decode_png,
     decode_ppm,
     decode_wav,
     extract_features,
@@ -33,6 +40,59 @@ def _pgm_ascii_bytes(img2d: np.ndarray) -> bytes:
     h, w = img2d.shape
     body = " ".join(str(int(v)) for v in img2d.ravel())
     return f"P2\n{w} {h}\n255\n{body}\n".encode()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _png_bytes(
+    img: np.ndarray,
+    filters: list[int] | None = None,
+    color_type: int | None = None,
+    bitdepth: int = 8,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Independent PNG encoder: applies the requested filter per scanline
+    using the spec's FORWARD formulas (filtered = raw - predictor)."""
+    h, w, nch = img.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch] if color_type is None else color_type
+    flat = img.reshape(h, w * nch).astype(np.int64)
+    prev = np.zeros(w * nch, dtype=np.int64)
+    raw = b""
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        row = flat[y]
+        left = np.concatenate([np.zeros(nch, dtype=np.int64), row[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, dtype=np.int64), prev[:-nch]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = row - pred
+        raw += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, ct, 0, 0, interlace)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return chunks + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
 
 
 def _wav_bytes(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -85,6 +145,60 @@ def test_decode_ppm_kernel():
         decode_ppm(b"\x89PNG not netpbm")
 
 
+def test_decode_png_all_filters():
+    """Every scanline filter type reconstructs exactly, on data designed
+    to exercise carries (random bytes + gradients)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for f in (0, 1, 2, 3, 4):
+        got = decode_png(_png_bytes(img, filters=[f]))
+        assert (got == img).all(), f"filter {f}"
+    # mixed filters across rows
+    got = decode_png(_png_bytes(img, filters=[0, 1, 2, 3, 4]))
+    assert (got == img).all()
+    # gradient (Sub/Paeth-friendly content) at a non-trivial size
+    grad = (
+        np.arange(24)[:, None, None] * 10 + np.arange(16)[None, :, None] * 3
+    ) % 256 + np.zeros((1, 1, 3))
+    grad = grad.astype(np.uint8)
+    assert (decode_png(_png_bytes(grad, filters=[4, 3, 1])) == grad).all()
+
+
+def test_decode_png_color_types():
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(5, 9, 1), dtype=np.uint8)
+    assert (decode_png(_png_bytes(gray, filters=[2, 4])) == gray).all()
+    rgba = rng.integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    assert (decode_png(_png_bytes(rgba, filters=[1, 3])) == rgba).all()
+    ga = rng.integers(0, 256, size=(3, 3, 2), dtype=np.uint8)
+    assert (decode_png(_png_bytes(ga, color_type=4)) == ga).all()
+    # palette: indices expand through PLTE to RGB
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 5, 1), dtype=np.uint8)
+    got = decode_png(_png_bytes(idx, color_type=3, palette=pal))
+    assert got.shape == (7, 5, 3)
+    assert (got == pal[idx[:, :, 0]]).all()
+
+
+def test_decode_png_rejects():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_png(_png_bytes(img, bitdepth=16))
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_png(_png_bytes(img, interlace=1))
+    good = _png_bytes(img)
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated mid-chunk
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)  # garbage chunks
+    # palette index beyond PLTE: corrupt, not a crash elsewhere
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    idx = np.full((2, 2, 1), 9, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_png(_png_bytes(idx, color_type=3, palette=pal))
+
+
 def test_decode_wav_kernel():
     rng = np.random.default_rng(6)
     samples = rng.integers(-2000, 2000, size=(800, 2), dtype=np.int16)
@@ -98,17 +212,29 @@ def test_decode_media_distributed(spark):
     corrupt payloads degrade to tagged rows instead of failing."""
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    png_img = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
     samples = rng.integers(-5000, 5000, size=(1600, 1), dtype=np.int16)
     rows = [
         (1, "image", _ppm_bytes(img), {}),
         (2, "audio", _wav_bytes(samples, 16000), {}),
-        (3, "image", b"\x89PNG\r\n\x1a\n codec-gated", {}),
+        (3, "image", _png_bytes(png_img, filters=[0, 1, 2, 3, 4]), {}),
         (4, "image", b"P6\n2 2\n255\n\x00", {}),  # truncated: corrupt
         (5, "image", None, {}),
+        (6, "image", _png_bytes(png_img, bitdepth=16), {}),  # unsupported variant
+        (7, "image", b"\x89PNG\r\n\x1a\n garbage chunks", {}),  # corrupt
+        (8, "audio", _wav_bytes(np.zeros((0, 1), dtype=np.int16)), {}),  # 0 frames
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
     out = {r["media_id"]: r for r in decode_media(df).collect()}
-    assert len(out) == 5
+    assert len(out) == 8
+    r3 = out[3]
+    assert (r3["format"], r3["width"], r3["height"], r3["channels"]) == ("png", 14, 9, 3)
+    assert abs(r3["pixel_mean"] - round(float(png_img.mean()), 6)) < 1e-9
+    assert abs(r3["pixel_std"] - round(float(png_img.std()), 6)) < 1e-9
+    assert out[6]["format"] == "unsupported"
+    assert out[7]["format"] == "corrupt"
+    assert out[8]["format"] == "wav" and out[8]["audio_rms"] == 0.0
+    assert out[8]["duration_ms"] == 0.0
     r1 = out[1]
     assert (r1["format"], r1["width"], r1["height"], r1["channels"]) == ("netpbm", 12, 16, 3)
     assert abs(r1["pixel_mean"] - round(float(img.mean()), 6)) < 1e-9
@@ -120,7 +246,6 @@ def test_decode_media_distributed(spark):
     assert r2["duration_ms"] == pytest.approx(100.0)
     exp_rms = round(float(np.sqrt((samples.astype(np.float64) ** 2).mean())), 6)
     assert r2["audio_rms"] == pytest.approx(exp_rms)
-    assert out[3]["format"] == "unsupported"  # PIL absent in this container
     assert out[4]["format"] == "corrupt"
     assert out[5]["format"] == "empty"
     # determinism at different parallelism
