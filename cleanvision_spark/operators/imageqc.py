@@ -1,0 +1,321 @@
+"""Pixel-domain image quality issues over decoded media payloads.
+
+This is the reference's LITERAL domain — scoring decoded pixels — where
+the rest of the package recasts those operators for code. The formulas
+and thresholds mirror image_property.py exactly:
+
+- brightness  : per-pixel sqrt(.241 r^2 + .691 g^2 + .068 b^2)/255,
+                percentiles over pixels (image_property.py:92-117);
+                dark score = perc_99 (threshold 0.32), light score =
+                1 - perc_5 (threshold 0.05) (:156-164, defaults
+                image_property_issue_manager.py:58-59).
+- aspect ratio: min(w/h, h/w), threshold 0.35 (:167-171).
+- entropy     : Shannon bits over the pixel histogram (PIL
+                Image.entropy() analog: concatenated per-band 256-bin
+                histogram); low_information score = clip(0.1 * entropy),
+                threshold 0.3 (:199-232).
+- blurriness  : downscale so max(w,h) <= 64, grayscale, FIND_EDGES
+                (3x3 kernel, center 8 / neighbors -1, clamped uint8,
+                border rows/cols copied from input like PIL), score =
+                min((1-exp(-0.01*sqrt(var(edges)))) + std_term, 1) with
+                std_term = 1-exp(-0.01*std(gray histogram)) zeroed when
+                <= 0.18; threshold 0.29 (:235-289, constants.py:20,
+                manager defaults :66-69).
+- grayscale   : color_space 'L' (single-channel file) scores 0, else 1;
+                flag = score == 0 (:293-341).
+- odd_size    : global IQR (factor 3.0) over sqrt(w)*sqrt(h)
+                (:344-405) — the same two-pass broadcast pattern as
+                operators/issues.with_odd_size.
+
+Deliberate numpy-for-PIL substitutions (PIL absent; self-built
+decoders): downscale is deterministic block-mean rather than bicubic,
+grayscale is round((299 r + 587 g + 114 b)/1000) (ITU-R 601, PIL "L"),
+and RGBA alpha is dropped before pixel math. Golden tests plant
+dark/light/blurry/grayscale exemplars and assert the flags.
+
+Spark shape: ONE mapInPandas pass emits the raw per-image properties
+(everything per-row, Arrow-batched, payloads never leave executors);
+scores/flags are then pure Catalyst expressions, and the only global
+state (odd_size IQR) is a 1-row broadcast — the identical plan shape to
+the text pipeline, so the 100 TB story (docs/SCALE.md) carries over.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cleanvision_spark.config import flag_col, score_col
+from cleanvision_spark.operators.multimodal import (
+    UnsupportedMediaVariant,
+    decode_png,
+    decode_ppm,
+)
+
+MAX_RESOLUTION_FOR_BLURRY_DETECTION = 64  # reference constants.py:20
+
+IMAGE_PROPS_FIELDS = [
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("brightness", T.DoubleType(), True),
+    T.StructField("brightness_perc_1", T.DoubleType(), True),
+    T.StructField("brightness_perc_5", T.DoubleType(), True),
+    T.StructField("brightness_perc_95", T.DoubleType(), True),
+    T.StructField("brightness_perc_99", T.DoubleType(), True),
+    T.StructField("aspect_ratio", T.DoubleType(), True),
+    T.StructField("entropy", T.DoubleType(), True),
+    T.StructField("blurriness", T.DoubleType(), True),
+    T.StructField("gray_std", T.DoubleType(), True),
+    T.StructField("color_space", T.StringType(), True),
+    T.StructField("size", T.DoubleType(), True),
+]
+IMAGE_PROPS_SCHEMA = T.StructType(IMAGE_PROPS_FIELDS)
+_NULL_PROPS = {f.name: None for f in IMAGE_PROPS_FIELDS if f.name != "media_id"}
+
+
+def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
+    """(format tag, (h, w, c) uint8 or None). Poison-safe: any decode
+    error tags the row instead of raising."""
+    if not b:
+        return "empty", None
+    try:
+        if b[:1] == b"P" and b[1:2] in (b"2", b"3", b"5", b"6"):
+            return "netpbm", decode_ppm(b)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            try:
+                return "png", decode_png(b)
+            except UnsupportedMediaVariant:
+                return "unsupported", None
+        return "unsupported", None
+    except Exception:
+        return "corrupt", None
+
+
+def _strip_alpha(img: np.ndarray) -> tuple[np.ndarray, bool]:
+    """Drop the alpha channel; returns (color-or-gray image, is_gray_file).
+    Gray+alpha (2ch) and single-channel count as grayscale files — the
+    analog of PIL mode 'L' / 'LA' (image_property.py:311-314)."""
+    c = img.shape[2]
+    if c == 4:
+        return img[:, :, :3], False
+    if c == 2:
+        return img[:, :, :1], True
+    return img, c == 1
+
+
+def _pixel_brightness(img: np.ndarray) -> np.ndarray:
+    """Per-pixel brightness in [0,1] (image_property.py:91-117):
+    sqrt(.241 r^2 + .691 g^2 + .068 b^2)/255 for color, value/255 gray."""
+    if img.shape[2] == 1:
+        return img[:, :, 0].astype(np.float64) / 255.0
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    return np.sqrt(0.241 * r * r + 0.691 * g * g + 0.068 * b * b) / 255.0
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """(h, w) uint8 grayscale — ITU-R 601 integer weights, the PIL
+    convert('L') formula."""
+    if img.shape[2] == 1:
+        return img[:, :, 0]
+    f = (
+        299 * img[:, :, 0].astype(np.int64)
+        + 587 * img[:, :, 1].astype(np.int64)
+        + 114 * img[:, :, 2].astype(np.int64)
+    )
+    return ((f + 500) // 1000).astype(np.uint8)
+
+
+def _downscale(gray: np.ndarray, max_dim: int) -> np.ndarray:
+    """Deterministic block-mean downscale so max(h, w) <= max_dim (the
+    numpy stand-in for PIL resize, image_property.py:257-264)."""
+    h, w = gray.shape
+    if max(h, w) <= max_dim:
+        return gray
+    ratio = max(h, w) / max_dim
+    nh, nw = max(int(h // ratio), 1), max(int(w // ratio), 1)
+    ys = (np.arange(nh + 1) * h / nh).astype(np.int64)
+    xs = (np.arange(nw + 1) * w / nw).astype(np.int64)
+    out = np.empty((nh, nw), dtype=np.uint8)
+    for yi in range(nh):
+        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+        for xi in range(nw):
+            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+            out[yi, xi] = int(gray[y0:y1, x0:x1].mean())
+    return out
+
+
+def _find_edges(gray: np.ndarray) -> np.ndarray:
+    """PIL ImageFilter.FIND_EDGES analog: 3x3 kernel (8 center, -1
+    neighbors), clamped to uint8, border pixels copied from the input
+    (PIL leaves the 1px border unfiltered)."""
+    g = gray.astype(np.int64)
+    out = g.copy()
+    if g.shape[0] >= 3 and g.shape[1] >= 3:
+        core = 8 * g[1:-1, 1:-1] - (
+            g[:-2, :-2] + g[:-2, 1:-1] + g[:-2, 2:]
+            + g[1:-1, :-2] + g[1:-1, 2:]
+            + g[2:, :-2] + g[2:, 1:-1] + g[2:, 2:]
+        )
+        out[1:-1, 1:-1] = np.clip(core, 0, 255)
+    return out.astype(np.uint8)
+
+
+def _histogram_entropy(img: np.ndarray) -> float:
+    """PIL Image.entropy() analog: Shannon bits over the concatenated
+    per-band 256-bin histogram."""
+    hist = np.concatenate(
+        [np.bincount(img[:, :, c].ravel(), minlength=256) for c in range(img.shape[2])]
+    )
+    p = hist[hist > 0] / hist.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def _props_one(media_id: int, payload: bytes | None) -> dict:
+    rec: dict = {"media_id": media_id, **_NULL_PROPS}
+    fmt, raw = _decode_image(payload)
+    rec["format"] = fmt
+    if raw is None:
+        return rec
+    h, w = raw.shape[0], raw.shape[1]
+    img, is_gray_file = _strip_alpha(raw)
+    bright = _pixel_brightness(img)
+    perc = np.percentile(bright, [1, 5, 95, 99])
+    gray = _to_gray(img)
+    small = _downscale(gray, MAX_RESOLUTION_FOR_BLURRY_DETECTION)
+    edges = _find_edges(small).astype(np.float64)
+    gray_hist = np.bincount(small.ravel(), minlength=256)
+    rec.update(
+        width=w,
+        height=h,
+        channels=raw.shape[2],
+        brightness=round(float(bright.mean()), 6),
+        brightness_perc_1=round(float(perc[0]), 6),
+        brightness_perc_5=round(float(perc[1]), 6),
+        brightness_perc_95=round(float(perc[2]), 6),
+        brightness_perc_99=round(float(perc[3]), 6),
+        aspect_ratio=round(min(w / h, h / w), 6),
+        entropy=round(_histogram_entropy(img), 6),
+        blurriness=round(float(np.sqrt(edges.var())), 6),
+        gray_std=round(float(gray_hist.std()), 6),
+        color_space="L" if is_gray_file else "RGB",
+        size=round(float(np.sqrt(w) * np.sqrt(h)), 6),
+    )
+    return rec
+
+
+def image_properties(df: DataFrame) -> DataFrame:
+    """ONE distributed pass over (media_id, payload) emitting the raw
+    per-image properties; everything downstream is Catalyst."""
+    cols = [f.name for f in IMAGE_PROPS_FIELDS]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                _props_one(mid, payload)
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return df.mapInPandas(op, IMAGE_PROPS_SCHEMA)
+
+
+def _clip01(c: Column) -> Column:
+    return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+
+IMAGE_ISSUE_DEFAULTS: dict[str, dict[str, Any]] = {
+    "dark": {"threshold": 0.32},
+    "light": {"threshold": 0.05},
+    "odd_aspect_ratio": {"threshold": 0.35},
+    "low_information": {"threshold": 0.3, "normalizing_factor": 0.1},
+    "blurry": {"threshold": 0.29, "normalizing_factor": 0.01, "color_threshold": 0.18},
+    "grayscale": {},
+    "odd_size": {"iqr_factor": 3.0},
+}
+
+
+def image_issue_scores(props: DataFrame, params: dict | None = None) -> DataFrame:
+    """Score + flag columns from the raw image properties — pure Catalyst
+    expressions plus one broadcast 1-row IQR join for odd_size. Rows that
+    did not decode (format not netpbm/png) keep null scores/flags."""
+    from cleanvision_spark.cache import tracked_persist
+
+    p = {k: {**v, **(params or {}).get(k, {})} for k, v in IMAGE_ISSUE_DEFAULTS.items()}
+    # persisted: props feeds both the odd_size stats agg and the row
+    # branch — without the persist an upstream properties UDF would
+    # evaluate twice per row (CLAUDE.md invariant; docs/PLANS.md)
+    out = tracked_persist(props)
+    decoded = F.col("size").isNotNull()
+
+    def put(issue: str, score: Column, flag: Column) -> None:
+        nonlocal out
+        out = out.withColumn(
+            score_col(issue), F.when(decoded, F.round(score, 6))
+        ).withColumn(flag_col(issue), F.when(decoded, flag))
+
+    # dark / light (image_property.py:148-164)
+    put("dark", F.col("brightness_perc_99"),
+        F.col("brightness_perc_99") < p["dark"]["threshold"])
+    light_score = F.lit(1.0) - F.col("brightness_perc_5")
+    put("light", light_score, light_score < p["light"]["threshold"])
+    # odd aspect ratio (:167-196)
+    put("odd_aspect_ratio", F.col("aspect_ratio"),
+        F.col("aspect_ratio") < p["odd_aspect_ratio"]["threshold"])
+    # low information (:199-232)
+    li = _clip01(F.lit(p["low_information"]["normalizing_factor"]) * F.col("entropy"))
+    put("low_information", li, li < p["low_information"]["threshold"])
+    # blurry (:235-289)
+    nf = p["blurry"]["normalizing_factor"]
+    blur_raw = F.lit(1.0) - F.exp(-F.lit(nf) * F.col("blurriness"))
+    std_raw = F.lit(1.0) - F.exp(-F.lit(nf) * F.col("gray_std"))
+    std_term = F.when(std_raw <= p["blurry"]["color_threshold"], F.lit(0.0)).otherwise(
+        std_raw
+    )
+    blurry = F.least(blur_raw + std_term, F.lit(1.0))
+    put("blurry", blurry, blurry < p["blurry"]["threshold"])
+    # grayscale (:293-341): score 0 for 'L', flag = score == 0
+    gs = F.when(F.col("color_space") == "L", F.lit(0.0)).otherwise(F.lit(1.0))
+    put("grayscale", gs, gs == F.lit(0.0))
+    # odd_size (:344-405): global IQR over decoded rows only, broadcast back
+    f = float(p["odd_size"]["iqr_factor"])
+    stats = (
+        out.filter(decoded)
+        .agg(
+            F.percentile("size", F.lit(0.25)).alias("q1"),
+            F.percentile("size", F.lit(0.75)).alias("q3"),
+        )
+        .select(
+            (F.col("q1") - f * (F.col("q3") - F.col("q1"))).alias("min_thr"),
+            (F.col("q3") + f * (F.col("q3") - F.col("q1"))).alias("max_thr"),
+        )
+        .select(
+            ((F.col("min_thr") + F.col("max_thr")) / 2).alias("mid_thr"),
+            (F.col("max_thr") - F.col("min_thr")).alias("thr_gap"),
+        )
+    )
+    out = out.crossJoin(F.broadcast(stats))
+    norm = F.when(F.col("thr_gap") > 0, F.col("thr_gap")).otherwise(F.col("mid_thr"))
+    os_score = F.lit(1.0) - _clip01(F.abs(F.col("size") - F.col("mid_thr")) / norm)
+    dyn_thr = F.when(F.col("thr_gap") > 0, F.lit(0.5)).otherwise(F.lit(1.0))
+    out = (
+        out.withColumn(score_col("odd_size"), F.when(decoded, F.round(os_score, 6)))
+        .withColumn(flag_col("odd_size"), F.when(decoded, os_score < dyn_thr))
+        .drop("mid_thr", "thr_gap")
+    )
+    return out
+
+
+def image_issues(df: DataFrame, params: dict | None = None) -> DataFrame:
+    """decode + raw properties + scores/flags, end to end."""
+    return image_issue_scores(image_properties(df), params)

@@ -1,0 +1,135 @@
+"""Golden tests for pixel-domain image issues: planted
+dark/light/blurry/grayscale/odd-aspect/low-info/odd-size exemplars must
+be flagged with the reference's exact thresholds (0.32/0.05/0.35/0.3/
+0.29), and scores must match an independent numpy computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.imageqc import (
+    image_issues,
+    image_properties,
+)
+from cleanvision_spark.operators.multimodal import MEDIA_SCHEMA
+from tests.test_multimodal import _png_bytes
+
+
+def _ppm(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _solid(v: int, h: int = 64, w: int = 64, c: int = 3) -> np.ndarray:
+    return np.full((h, w, c), v, dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rng = np.random.default_rng(21)
+    noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    # smooth low-range ramp covering 128 gray levels exactly 32x each:
+    # flat histogram (std term zeroed) + near-zero laplacian core ->
+    # blurry by the reference formula
+    ramp = (
+        (np.arange(64) * 2)[None, :] + (np.arange(64) // 32)[:, None]
+    ).astype(np.uint8)[:, :, None]
+    checker = (np.indices((64, 64)).sum(axis=0) % 2 * 255).astype(np.uint8)[
+        :, :, None
+    ].repeat(3, axis=2)
+    rows = [
+        (1, "image", _ppm(_solid(10)), {}),          # dark (+ low_information)
+        (2, "image", _png_bytes(_solid(250), filters=[0]), {}),  # light
+        (3, "image", _ppm(ramp), {}),                # blurry (and grayscale)
+        (4, "image", _ppm(checker), {}),             # sharp color checker
+        (5, "image", _png_bytes(rng.integers(0, 256, size=(64, 64, 1), dtype=np.uint8)), {}),  # grayscale
+        (6, "image", _ppm(noise), {}),               # clean RGB noise
+        (7, "image", _ppm(rng.integers(0, 256, size=(8, 64, 3), dtype=np.uint8)), {}),  # odd aspect
+        (8, "image", _ppm(rng.integers(0, 256, size=(1024, 1024, 3), dtype=np.uint8)), {}),  # odd size
+        (9, "audio", b"RIFF not an image", {}),      # undecodable
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+    out = {r["media_id"]: r for r in image_issues(df).collect()}
+    from cleanvision_spark.cache import release_tracked
+
+    release_tracked()
+    return out, {"noise": noise, "ramp": ramp}
+
+
+def test_planted_flags(scored):
+    out, _ = scored
+    assert out[1]["is_dark_issue"] and not out[1]["is_light_issue"]
+    assert out[1]["is_low_information_issue"]  # zero-entropy solid color
+    assert out[2]["is_light_issue"] and not out[2]["is_dark_issue"]
+    assert out[3]["is_blurry_issue"]
+    assert not out[4]["is_blurry_issue"]
+    assert out[3]["is_grayscale_issue"] and out[5]["is_grayscale_issue"]
+    assert not out[6]["is_grayscale_issue"]
+    for issue in ("dark", "light", "blurry", "low_information",
+                  "odd_aspect_ratio", "odd_size", "grayscale"):
+        assert not out[6][f"is_{issue}_issue"], issue
+    assert out[7]["is_odd_aspect_ratio_issue"]
+    assert out[8]["is_odd_size_issue"] and not out[6]["is_odd_size_issue"]
+    # undecodable row: null scores and flags, row preserved
+    assert out[9]["format"] == "unsupported"
+    assert out[9]["dark_score"] is None and out[9]["is_dark_issue"] is None
+
+
+def test_scores_match_independent_numpy(scored):
+    out, imgs = scored
+    # dark score = 99th percentile of per-pixel brightness
+    noise = imgs["noise"].astype(np.float64)
+    bright = np.sqrt(
+        0.241 * noise[:, :, 0] ** 2
+        + 0.691 * noise[:, :, 1] ** 2
+        + 0.068 * noise[:, :, 2] ** 2
+    ) / 255.0
+    assert out[6]["dark_score"] == pytest.approx(
+        round(float(np.percentile(bright, 99)), 6), abs=2e-6
+    )
+    assert out[6]["light_score"] == pytest.approx(
+        round(1.0 - float(np.percentile(bright, 5)), 6), abs=2e-6
+    )
+    # solid RGB: one bin per band in the concatenated 768-bin histogram
+    # -> entropy exactly log2(3), same as PIL Image.entropy()
+    assert out[1]["entropy"] == pytest.approx(np.log2(3.0), abs=1e-6)
+    assert out[1]["low_information_score"] == pytest.approx(0.158496, abs=1e-6)
+    # ramp: near-zero laplacian core, blurriness only from the copied
+    # border; flat histogram -> std term exactly zeroed
+    assert out[3]["blurry_score"] < 0.29
+    # 128 levels x 32 pixels over 256 bins: std exactly 16, and the std
+    # term 1-exp(-0.16)=0.148 <= color_threshold 0.18 -> zeroed
+    assert out[3]["gray_std"] == 16.0
+    # aspect ratio 8x64
+    assert out[7]["aspect_ratio"] == pytest.approx(0.125)
+    assert out[7]["odd_aspect_ratio_score"] == pytest.approx(0.125)
+    # grayscale scores are 0/1
+    assert out[5]["grayscale_score"] == 0.0 and out[6]["grayscale_score"] == 1.0
+
+
+def test_properties_deterministic_across_partitioning(spark):
+    rng = np.random.default_rng(22)
+    rows = [
+        (i, "image", _png_bytes(rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8), filters=[i % 5]), {})
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    a = sorted(image_properties(df.repartition(1)).collect(), key=lambda r: r["media_id"])
+    b = sorted(image_properties(df.repartition(7)).collect(), key=lambda r: r["media_id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_threshold_override(spark):
+    """Params merge like the reference manager: a user threshold replaces
+    the default."""
+    img = np.full((64, 64, 3), 100, dtype=np.uint8)  # brightness ~0.39
+    df = spark.createDataFrame([(1, "image", _ppm(img), {})], MEDIA_SCHEMA)
+    strict = image_issues(df, {"dark": {"threshold": 0.5}}).collect()[0]
+    default = image_issues(df, None).collect()[0]
+    from cleanvision_spark.cache import release_tracked
+
+    release_tracked()
+    assert strict["is_dark_issue"] and not default["is_dark_issue"]
