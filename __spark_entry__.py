@@ -705,6 +705,92 @@ def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (mapInPandas over binary payloads)
+    with a full DuckDB oracle: payloads are the UTF-8 bytes of each
+    document, so n_bytes/content-sha256/byte-entropy are SQL-expressible
+    (octet_length / sha256 / entropy over hex-pair bytes)."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.multimodal import extract_features
+
+    _prepare(spark)
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        "content_hash",
+    )
+
+
+def _q_image_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-domain image issues end to end (decode + raw properties +
+    reference-formula scores) over deterministic netpbm payloads
+    synthesized from the documents table with pure Catalyst expressions
+    (P5 header + the first 1024 UTF-8 bytes of padded text as pixels).
+    Rows-only check: the decode/score path is value-tested by the
+    tests/test_imageqc.py golden suite."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.imageqc import image_issues
+
+    _prepare(spark)
+    media = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(
+            F.concat(F.lit("P5\n32 32\n255\n"), F.rpad(F.col("text"), 1024, "x")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = image_issues(media)
+    score_flag = sorted(
+        c for c in out.columns if c.endswith("_score") or c.startswith("is_")
+    )
+    return out.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        *[
+            F.round(c, 6).alias(c) if c.endswith("_score") else F.col(c)
+            for c in score_flag
+        ],
+    )
+
+
+def _q_quality_filter_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's SQL-expressible projection (expression
+    issues + odd_size + exact duplicates + scrub hash) with a full
+    value oracle — the UDF columns (dark/light/grayscale) stay in
+    quality_filter_full's rows-only check + golden pytest."""
+    from cleanvision_spark.config import merge_params
+    from cleanvision_spark.plans.pipeline import quality_filter
+
+    df = quality_filter(_corpus(spark, sf_dir), merge_params(None))
+    return _r6(
+        df,
+        *KEYS,
+        "odd_aspect_ratio_score",
+        "is_odd_aspect_ratio_issue",
+        "low_information_score",
+        "is_low_information_issue",
+        "blurry_score",
+        "is_blurry_issue",
+        "odd_size_score",
+        "is_odd_size_issue",
+        "exact_duplicates_score",
+        "is_exact_duplicates_issue",
+        "sha256_scrubbed",
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: groupBy + 6 aggs, map-side partial
     aggregation, one shuffle on the tiny group key space."""
@@ -955,6 +1041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed_topk,
         "embedding_norms": _q_embedding_norms,
         "scrub_sha256": _q_scrub_sha256,
+        "media_features": _q_media_features,
+        "image_issues": _q_image_issues,
+        "quality_filter_exprs": _q_quality_filter_exprs,
         "quality_filter_full": _q_quality_filter_full,
         "langid_surprisal": _q_langid_surprisal,
         "exact_duplicates": _q_exact_duplicates,
@@ -1011,6 +1100,7 @@ def _scrub_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from cleanvision_spark.functions.scrub import duckdb_scrub_expr
     from cleanvision_spark.operators.textqc import STOPWORDS
 
     STOPWORDS_SQL = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
@@ -1135,6 +1225,47 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2
         """,
         "scrub_sha256": _scrub_oracle(),
+        # payload = UTF-8 bytes of text; DuckDB sha256(VARCHAR) hashes the
+        # UTF-8 encoding, and byte entropy unnests the hex-pair bytes of
+        # the BLOB (substring(BLOB,..) does not exist; hex pairs do)
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, encode(text) AS payload
+              FROM documents
+            ),
+            b AS (
+              SELECT media_id, substring(hex(payload), 2 * t.i - 1, 2) AS byte
+              FROM m, UNNEST(generate_series(1, octet_length(payload))) AS t(i)
+            ),
+            e AS (SELECT media_id, entropy(byte) AS ent FROM b GROUP BY 1)
+            SELECT m.media_id,
+                   octet_length(m.payload)::BIGINT AS n_bytes,
+                   round(coalesce(e.ent, 0.0), 6) AS byte_entropy,
+                   sha256(m.text) AS content_hash
+            FROM m LEFT JOIN e USING (media_id)
+        """,
+        "quality_filter_exprs": f"""
+            {_ISSUE_SQL_ALL},
+            scrub AS (
+              SELECT repo, path, commit,
+                     sha256({duckdb_scrub_expr("content")}) AS sha256_scrubbed
+              FROM corpus
+            )
+            SELECT a.repo, a.path, a.commit,
+                   round(a.odd_aspect_ratio_score, 6) AS odd_aspect_ratio_score,
+                   a.is_odd_aspect_ratio_issue,
+                   round(a.low_information_score, 6) AS low_information_score,
+                   a.is_low_information_issue,
+                   round(a.blurry_score, 6) AS blurry_score,
+                   a.is_blurry_issue,
+                   round(a.odd_size_score, 6) AS odd_size_score,
+                   a.is_odd_size_issue,
+                   round(a.exact_duplicates_score, 6) AS exact_duplicates_score,
+                   a.is_exact_duplicates_issue,
+                   s.sha256_scrubbed
+            FROM allissues a
+            JOIN scrub s USING (repo, path, commit)
+        """,
         "dedup_normalized": rf"""
             WITH {DOCS_PLANTED_CTE}, n AS (
               SELECT doc_id,

@@ -145,6 +145,28 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
 
     import __spark_entry__ as entrymod
 
+    # multimodal path: synthesize image payloads from the docs (pure
+    # Catalyst), then decode + pixel-score distributed (mapInPandas)
+    from cleanvision_spark.operators.imageqc import image_issues
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(
+            F.concat(F.lit("P5\n32 32\n255\n"), F.rpad(F.col("text"), 1024, "x")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    def _image_issues_run():
+        from cleanvision_spark.cache import release_tracked
+
+        n = image_issues(media).filter(F.col("format") == "netpbm").count()
+        release_tracked()
+        return n
+
+    t("image_issues_decode_score", _image_issues_run)
+
     t("tpch_q1", lambda: entrymod.queries()["tpch_q1"](spark, SF_DIR).count())
     t(
         "event_sessions",
