@@ -12,7 +12,6 @@ parallelism.
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -175,23 +174,29 @@ class CodeLab:
         cols = [c for c in self.issues.columns if c not in drop]
         self.issues.select(*cols).write.mode(mode).parquet(f"{path}/issues")
         self.issue_summary.write.mode(mode).parquet(f"{path}/issue_summary")
-        if report:
-            with open(os.path.join(path, "report.md"), "w") as f:
-                f.write(self.report_markdown())
-        from cleanvision_spark import __version__
+        # sidecar artifacts go through the Hadoop FS API so a non-local
+        # output URI (hdfs://, s3a://) lands them next to the parquet
+        # parts instead of failing or writing to the driver's local disk
+        from cleanvision_spark import __version__, fsutil
 
+        spark = self.issues.sparkSession
+        if report:
+            fsutil.write_text(spark, f"{path}/report.md", self.report_markdown())
         manifest = {
             "version": __version__,
             "issue_types": self._issue_types,
             "info": {k: v for k, v in self.info.items() if isinstance(v, (str, int, float, list, dict))},
         }
-        with open(os.path.join(path, _MANIFEST), "w") as f:
-            json.dump(manifest, f, indent=2)
+        fsutil.write_text(spark, f"{path}/{_MANIFEST}", json.dumps(manifest, indent=2))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, df: DataFrame | None = None) -> "CodeLab":
-        with open(os.path.join(path, _MANIFEST)) as f:
-            manifest = json.load(f)
+        from cleanvision_spark import fsutil
+
+        text = fsutil.read_text(spark, f"{path}/{_MANIFEST}")
+        if text is None:
+            raise FileNotFoundError(f"{path}/{_MANIFEST}")
+        manifest = json.loads(text)
         from cleanvision_spark import __version__
 
         if manifest["version"] != __version__:  # serialize.py:32-41

@@ -1,0 +1,63 @@
+"""Hadoop-FileSystem helpers (via the Spark JVM gateway).
+
+Sidecar artifacts (markers, reports, manifests) must go through the
+Hadoop FS API, not local ``open()`` — with an ``hdfs://`` / ``s3a://``
+output URI a local write silently lands on the driver's disk (or fails)
+while the parquet parts land on the cluster store. These helpers keep
+every byte of an output directory on the same filesystem."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Atomic-enough small-file write: create-overwrite then close (HDFS
+    and local FS expose the full content only after close)."""
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # py4j passes arrays by value, so stream.read(buf) cannot fill a
+        # Python bytearray — IOUtils returns byte[] (converted to bytes)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.delete(p, recursive))
+
+
+def list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names (not paths) of child directories; [] when path is absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    )

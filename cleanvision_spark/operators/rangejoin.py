@@ -43,6 +43,8 @@ def range_join(
     w = int(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     pcols = points.columns
     p = points.withColumn("_bkt", F.floor(F.col(point_col) / w)).alias("p")
     i = (
@@ -62,7 +64,7 @@ def range_join(
             F.col(f"i.{start_col}"), F.col(f"i.{end_col}")
         )
     )
-    joined = p.join(i, cond, "left" if how == "left" else "inner")
+    joined = p.join(i, cond, how)
     out_cols = [F.col(f"p.{c}").alias(c) for c in pcols]
     out_cols += [F.col(f"i.{c}").alias(f"{c}_range") for c in value_cols]
     return joined.select(*out_cols)

@@ -34,22 +34,146 @@ ROW_ISSUES = ["dark", "light", "odd_aspect_ratio", "low_information", "blurry", 
 # mismatch, partition conflict) must surface, not silently disable dedup
 _NO_INDEX_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
+_COMPACT_MARKER = "_compacted.json"  # leading underscore: invisible to
+# Spark's file index, so it never collides with partition discovery
 
-def _read_index(spark: SparkSession, index_dir: str, batchid: str) -> DataFrame | None:
-    """Read the persistent index excluding the current batch partition;
-    None when the index genuinely does not exist yet."""
+
+def run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Derive the sink run_id from the query's checkpoint location: the
+    checkpoint is exactly the thing that is stable across restarts of
+    the same query and unique across distinct queries, which is the
+    run_id contract (two queries sharing an index with the same run_id
+    would overwrite each other's batchid partitions)."""
+    import hashlib
+
+    return "ck" + hashlib.sha256(checkpoint_dir.rstrip("/").encode()).hexdigest()[:12]
+
+
+def _is_missing_index(exc) -> bool:
+    """Structured error-condition match (the rendered message wording
+    varies across Spark versions/locales); substring fallback only when
+    the exception carries no condition at all."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):  # getErrorClass: pre-4.0
+        fn = getattr(exc, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+        if cond:
+            return any(c in cond for c in _NO_INDEX_CONDITIONS)
+    return any(c in str(exc) for c in _NO_INDEX_CONDITIONS)
+
+
+def _read_index_key_frames(
+    spark: SparkSession, index_dir: str, batchid: str, key_cols: list[str]
+) -> list[DataFrame]:
+    """Key columns of the persistent index, one frame per layout: the
+    compacted bucketed table (if compact_index has run — discovered via
+    the marker file) and the still-uncompacted batchid partitions,
+    EXCLUDING the current batch partition. Kept as separate frames so
+    the exact-dedup sink can CHAIN anti-joins — an anti-join directly
+    against the bucketed table keeps its co-location (only the batch
+    side shuffles), which a union with the partition frame would throw
+    away. Empty list when no index exists yet in either layout."""
+    import json
+
     from pyspark.errors import AnalysisException
 
+    from cleanvision_spark import fsutil
+
+    frames: list[DataFrame] = []
+    marker = fsutil.read_text(spark, f"{index_dir}/{_COMPACT_MARKER}")
+    if marker is not None:
+        frames.append(spark.table(json.loads(marker)["table"]).select(*key_cols))
     try:
-        return (
+        frames.append(
             spark.read.option("basePath", index_dir)
             .parquet(index_dir)
             .filter(F.col("batchid") != batchid)
+            .select(*key_cols)
         )
     except AnalysisException as exc:
-        if any(c in str(exc) for c in _NO_INDEX_CONDITIONS):
-            return None
-        raise
+        if not _is_missing_index(exc):
+            raise
+    return frames
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    table_base: str,
+    buckets: int = 64,
+    keep_last_per_run: int = 1,
+) -> int:
+    """Rewrite accumulated ``batchid=*`` index partitions into ONE
+    bucketed catalog table (sources/layout.write_bucketed) so each
+    trigger's anti-join co-locates against a pre-shuffled index instead
+    of reshuffling every accumulated partition — the scale mitigation
+    the sinks' docstrings promise. Returns the number of partitions
+    consumed.
+
+    Layout: generation tables ``<table_base>_g<N>`` stored under
+    ``<index_dir>/_compacted_g<N>`` (underscore prefix: invisible to the
+    partition-discovering read), with ``<index_dir>/_compacted.json``
+    naming the live generation. Each run folds the previous generation
+    plus the consumed partitions, distinct on the key.
+
+    Run this OFFLINE (writing query stopped). ``keep_last_per_run``
+    leaves the most recent epoch partition(s) of every run_id
+    uncompacted, so a crash-replay of the final not-yet-committed epoch
+    still finds its own-batch partition excludable — compacting it away
+    would make the replay see its own keys as "seen" and emit an empty
+    batch. Crash windows of compaction itself are benign: every step
+    only ever duplicates keys across the two layouts (the sinks'
+    anti-join / distinct semantics are idempotent in keys), never loses
+    them; the marker flip is a single small-file overwrite."""
+    import json
+
+    from cleanvision_spark import fsutil
+    from cleanvision_spark.sources.layout import write_bucketed
+
+    parts = [
+        d
+        for d in fsutil.list_subdirs(spark, index_dir)
+        if d.startswith("batchid=")
+    ]
+    by_run: dict[str, list[tuple[int, str]]] = {}
+    for d in parts:
+        run, _, epoch = d.split("=", 1)[1].rpartition("-")
+        by_run.setdefault(run, []).append((int(epoch), d))
+    consume: list[str] = []
+    for lst in by_run.values():
+        lst.sort()
+        keep = len(lst) - keep_last_per_run
+        consume += [d for _, d in lst[: max(keep, 0)]]
+    if not consume:
+        return 0
+    frames = [spark.read.parquet(f"{index_dir}/{d}") for d in consume]
+    marker = fsutil.read_text(spark, f"{index_dir}/{_COMPACT_MARKER}")
+    prev = json.loads(marker) if marker is not None else None
+    if prev is not None:
+        frames.append(spark.table(prev["table"]))
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    merged = merged.distinct()
+    gen = (prev["gen"] + 1) if prev is not None else 1
+    table = f"{table_base}_g{gen}"
+    key = merged.columns[0]  # sha256 / _bh — both single-key indexes
+    write_bucketed(merged, table, f"{index_dir}/_compacted_g{gen}", key, buckets)
+    fsutil.write_text(
+        spark,
+        f"{index_dir}/{_COMPACT_MARKER}",
+        json.dumps({"table": table, "gen": gen}),
+    )
+    for d in consume:
+        fsutil.delete(spark, f"{index_dir}/{d}")
+    if prev is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {prev['table']}")
+        fsutil.delete(spark, f"{index_dir}/_compacted_g{prev['gen']}")
+    return len(consume)
 
 
 def stream_corpus(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -83,7 +207,7 @@ def stream_quality_filter(
     return out.withColumn("keep", ~drop)
 
 
-def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
+def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str):
     """foreachBatch sink that exactly-dedups a scored stream against all
     previously-seen content. Exact duplicate detection is cross-row
     state that does NOT belong in unbounded streaming state — the index
@@ -99,18 +223,20 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
     previous attempt crashed before, between, or after the two writes.
     ``fresh`` is computed once (persisted across the two writes).
 
-    ``run_id`` must be STABLE across restarts of the same query (derive
-    it from the checkpoint location) and UNIQUE across distinct queries
-    feeding the same index — epoch ids restart at 0 with a new
-    checkpoint, and colliding batch ids would break the replay
-    exclusion.
+    ``run_id`` is REQUIRED (no default — two queries silently sharing a
+    default id would overwrite each other's batchid partitions): it must
+    be STABLE across restarts of the same query and UNIQUE across
+    distinct queries feeding the same index — epoch ids restart at 0
+    with a new checkpoint, and colliding batch ids would break the
+    replay exclusion. ``run_id_for_checkpoint(checkpoint_dir)`` derives
+    a conforming id.
 
     Scale note: each batch anti-joins against the FULL index, so as the
     index grows the per-batch cost is dominated by that join's shuffle.
-    At very large index sizes, periodically compact the accumulated
-    batchid partitions into a table bucketed by a sha256 prefix
-    (sources/layout.write_bucketed) so the per-batch join co-locates
-    instead of reshuffling the index every trigger.
+    Periodically run ``compact_index`` (offline) to fold the accumulated
+    batchid partitions into a bucketed catalog table — the reads here
+    pick up either layout transparently, and against the bucketed
+    generation only the (small) batch side shuffles.
     """
     from cleanvision_spark.operators.duplicates import with_sha256
 
@@ -126,12 +252,12 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
             F.struct("repo", "path", "commit") == F.col("_k")
         ).drop("_k")
         # partition discovery exposes `batchid`; pruning the current
-        # batch makes a replay see exactly the pre-crash index state
-        seen = _read_index(spark, index_dir, batchid)
-        if seen is not None:
-            fresh = hashed.join(seen.select("sha256"), "sha256", "left_anti")
-        else:  # first batch ever: no index yet
-            fresh = hashed
+        # batch makes a replay see exactly the pre-crash index state.
+        # chained anti-joins (not a union): the compacted frame keeps
+        # its bucketed co-location, so only the batch side shuffles
+        fresh = hashed
+        for seen in _read_index_key_frames(spark, index_dir, batchid, ["sha256"]):
+            fresh = fresh.join(seen, "sha256", "left_anti")
         fresh = fresh.persist()
         try:
             fresh.write.mode("overwrite").parquet(f"{out_dir}/batchid={batchid}")
@@ -145,7 +271,7 @@ def foreach_batch_dedup_sink(index_dir: str, out_dir: str, run_id: str = "r0"):
 
 
 def foreach_batch_near_dedup_flags(
-    index_dir: str, out_dir: str, run_id: str = "r0", params: dict | None = None
+    index_dir: str, out_dir: str, run_id: str, params: dict | None = None
 ):
     """foreachBatch sink that FLAGS near-duplicates on a stream against
     all previously-processed content, via a persistent MinHash band
@@ -162,12 +288,13 @@ def foreach_batch_near_dedup_flags(
     means "previously processed", kept or not.
 
     Same idempotency scheme as ``foreach_batch_dedup_sink``: batch-keyed
-    overwrite directories + own-batch index exclusion, so at-least-once
-    replays rewrite identical content. The band index is storage-bounded
-    (BANDS longs per distinct row), never executor memory; like the
-    exact sink, compact it periodically into a band-bucketed table
-    (sources/layout.write_bucketed) once it outgrows per-trigger
-    reshuffling.
+    overwrite directories + own-batch index exclusion (``run_id``
+    required, same contract — see run_id_for_checkpoint), so
+    at-least-once replays rewrite identical content. The band index is
+    storage-bounded (BANDS longs per distinct row), never executor
+    memory; like the exact sink, fold it periodically with
+    ``compact_index`` into a band-bucketed table once it outgrows
+    per-trigger reshuffling — reads here use either layout.
     """
     from cleanvision_spark.functions.hashing import BANDS, NUM_PERM, SHINGLE_K, make_minhash_bands_udf
     from cleanvision_spark.operators.duplicates import with_sha256
@@ -194,10 +321,13 @@ def foreach_batch_near_dedup_flags(
             ).alias("_bh"),
         ).persist()
         try:
-            seen = _read_index(spark, index_dir, batchid)
-            if seen is not None:
+            seen_frames = _read_index_key_frames(spark, index_dir, batchid, ["_bh"])
+            if seen_frames:
+                seen = seen_frames[0]
+                for f in seen_frames[1:]:  # semi-join needs the OR: union
+                    seen = seen.unionByName(f)
                 near_seen = (
-                    ex.join(seen.select("_bh").distinct(), "_bh")
+                    ex.join(seen.distinct(), "_bh")
                     .select("repo", "path", "commit")
                     .distinct()
                     .withColumn("is_near_seen", F.lit(True))

@@ -159,6 +159,90 @@ def test_foreach_batch_near_dedup_flags(spark, tmp_path):
     assert again == got and len(again) == 5
 
 
+def test_run_id_for_checkpoint():
+    from cleanvision_spark.streaming.stream import run_id_for_checkpoint
+
+    a = run_id_for_checkpoint("/data/ck/q1")
+    assert a == run_id_for_checkpoint("/data/ck/q1/")  # stable, slash-blind
+    assert a != run_id_for_checkpoint("/data/ck/q2")  # unique per query
+    assert "-" not in a  # '-' is the run/epoch separator in batch ids
+
+
+def test_compact_index_dedup_sink(spark, tmp_path):
+    """compact_index folds old batchid partitions into a bucketed catalog
+    table; the sink reads both layouts: post-compaction batches still
+    dedup against compacted content, a replay of the kept (most recent)
+    epoch is still idempotent, and re-compaction swaps generations."""
+    from cleanvision_spark.streaming.stream import (
+        compact_index,
+        foreach_batch_dedup_sink,
+    )
+
+    corpus, _ = generate_corpus(n_clean=18, seed=31)
+    df = spark.createDataFrame(corpus, CORPUS_SCHEMA)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = foreach_batch_dedup_sink(idx, out, run_id="rc")
+    n = df.count()
+    b0, b1, b2 = df.limit(6), df.limit(12), df
+    sink(b0, 0)
+    sink(b1, 1)  # re-sends b0 contents: only the delta lands
+    sink(b2, 2)
+    n_distinct = df.select(F.sha2("content", 256)).distinct().count()
+    baseline = spark.read.parquet(out)
+    assert baseline.count() == n_distinct
+    spark.sql("DROP TABLE IF EXISTS t_idx_c_g1")
+    spark.sql("DROP TABLE IF EXISTS t_idx_c_g2")
+
+    consumed = compact_index(spark, idx, "t_idx_c", buckets=4)
+    assert consumed == 2  # rc-0, rc-1 folded; rc-2 kept for replay safety
+    import os
+
+    assert not os.path.exists(f"{idx}/batchid=rc-0")
+    assert os.path.exists(f"{idx}/batchid=rc-2")
+    g1 = spark.table("t_idx_c_g1")
+    assert g1.columns == ["sha256"]
+    # replay of the kept epoch: output unchanged
+    sink(b2, 2)
+    after = spark.read.parquet(out)
+    assert after.count() == n_distinct
+    assert after.select("sha256").distinct().count() == n_distinct
+    # a later epoch resending everything adds nothing
+    sink(df, 3)
+    assert spark.read.parquet(out).count() == n_distinct
+    # second compaction: folds rc-2 (rc-3 now newest), swaps generation
+    assert compact_index(spark, idx, "t_idx_c", buckets=4) == 1
+    assert not spark.catalog.tableExists("t_idx_c_g1")
+    assert spark.table("t_idx_c_g2").count() == n_distinct  # all but rc-3...
+    # (rc-3 wrote an empty fresh set, so g2 holds every distinct sha)
+    sink(df, 4)
+    assert spark.read.parquet(out).count() == n_distinct
+    spark.sql("DROP TABLE IF EXISTS t_idx_c_g2")
+
+
+def test_compact_index_near_dedup_sink(spark, tmp_path):
+    """After compaction, a near variant of long-ago content is still
+    flagged is_near_seen (band index folded into the bucketed table)."""
+    from cleanvision_spark.streaming.stream import (
+        compact_index,
+        foreach_batch_near_dedup_flags,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(150))
+    rows_b0 = [("r", "a.py", "c1", "python", base)]
+    rows_b1 = [("r", "b.py", "c2", "python", " ".join(f"other{i}" for i in range(150)))]
+    near = base.replace("tok3 ", "tokZ ")
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = foreach_batch_near_dedup_flags(idx, out, run_id="rn")
+    sink(spark.createDataFrame(rows_b0, CORPUS_SCHEMA), 0)
+    sink(spark.createDataFrame(rows_b1, CORPUS_SCHEMA), 1)
+    spark.sql("DROP TABLE IF EXISTS t_idx_n_g1")
+    assert compact_index(spark, idx, "t_idx_n", buckets=4) == 1  # rn-0 folded
+    sink(spark.createDataFrame([("r", "c.py", "c3", "python", near)], CORPUS_SCHEMA), 2)
+    got = {r["path"]: r["is_near_seen"] for r in spark.read.parquet(out).collect()}
+    assert got["c.py"] is True  # matched via the compacted band table
+    spark.sql("DROP TABLE IF EXISTS t_idx_n_g1")
+
+
 def test_dedup_sink_surfaces_bad_index(spark, tmp_path):
     """A corrupt/foreign index (readable parquet but not the sink's
     batch-partitioned layout) must raise, not silently disable dedup —
