@@ -105,13 +105,28 @@ def ivf_fit(
     seed: int = ANN_SEED,
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means on a driver-side
-    sample (ordered by id — stable at any parallelism), seeded init,
-    fixed iteration count. Returns (k, dim) centroids to broadcast.
+    sample, seeded init, fixed iteration count. Returns (k, dim)
+    centroids to broadcast.
 
-    At 10^12 rows the sample is a tiny deterministic hash-slice of the
-    table; k-means on <=O(100k) sampled vectors is driver-side numpy by
-    design (centroid fitting is not the distributed bottleneck)."""
-    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    The sample is the ``sample`` rows with the smallest xxhash64(id) —
+    a deterministic hash-slice: uniform pseudo-random (unbiased by
+    ingest/id order, unlike a head-by-id slice), identical at any
+    parallelism, and planned as TakeOrderedAndProject over the 8-byte
+    hash (per-partition heaps of ``sample`` entries; only ~sample rows
+    ever shuffle). k-means on <=O(100k) sampled vectors is driver-side
+    numpy by design (centroid fitting is not the distributed
+    bottleneck)."""
+    rows = (
+        df.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias(vec_col),
+        )
+        .orderBy("_h", "_id")  # id tiebreak: hash collisions stay stable
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]

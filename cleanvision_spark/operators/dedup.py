@@ -235,29 +235,54 @@ def jaccard_pairs_blocked(
 ) -> DataFrame:
     """Exact word-set jaccard >= threshold for pairs within a block.
 
-    Blocking = given columns + an n_tokens bucket, so the self-join is
-    equi-keyed (shuffle hash join on the block key, never a cross join).
-    This is the LSH-refinement stage; at 10^12 rows the block key should
-    be the LSH bucket id itself."""
+    Blocking — always an equi-keyed self-join, never a cross join:
+    - ``block_cols`` given: those columns + an n_tokens bucket (the
+      exact-within-block variant, SQL-oracle-checkable). Caller-owned
+      key: safe only when the caller knows the blocks stay small.
+    - ``block_cols=None`` (the DEFAULT, and the scale-safe path):
+      MinHash-LSH band buckets — candidates share >= 1 of the BANDS
+      band hashes (8-byte keys), so candidate volume is governed by
+      actual text similarity, not by incidental same-length clustering;
+      work stays linear at any corpus size. This wires the refinement
+      stage directly onto the LSH candidate generator instead of only
+      documenting that composition."""
     from cleanvision_spark.functions.text_stats import WS_RUN_RE
 
     words = F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RUN_RE))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in (block_cols or [])],
-        words.alias("words"),
-        (F.size(F.split(F.trim(F.col(text_col)), WS_RUN_RE)) / token_bucket_width)
-        .cast("long")
-        .alias("_tb"),
-    )
+    if block_cols is None:
+        from cleanvision_spark.cache import tracked_persist
+        from cleanvision_spark.functions.hashing import minhash_bands_udf
+
+        # persisted: self-joined as l/r — without it the signature UDF
+        # evaluates on both sides
+        base = tracked_persist(
+            df.select(
+                F.col(id_col).alias("id"),
+                words.alias("words"),
+                F.explode(minhash_bands_udf(F.col(text_col))).alias("_blk"),
+            )
+        )
+        cond = [F.col("l._blk") == F.col("r._blk"), F.col("l.id") < F.col("r.id")]
+        dedup_pairs = True  # a pair can share several bands
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            words.alias("words"),
+            (F.size(F.split(F.trim(F.col(text_col)), WS_RUN_RE)) / token_bucket_width)
+            .cast("long")
+            .alias("_tb"),
+        )
+        cond = [F.col("l._tb") == F.col("r._tb"), F.col("l.id") < F.col("r.id")] + [
+            F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols
+        ]
+        dedup_pairs = False
     left = base.alias("l")
     right = base.alias("r")
-    block_key = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in (block_cols or [])]
-    cond = [F.col("l._tb") == F.col("r._tb"), F.col("l.id") < F.col("r.id")] + block_key
     inter = F.size(F.array_intersect(F.col("l.words"), F.col("r.words")))
     union = F.size(F.array_union(F.col("l.words"), F.col("r.words")))
     jac = inter.cast("double") / union.cast("double")
-    return (
+    out = (
         left.join(right, cond)
         .select(
             F.col("l.id").alias("id_a"),
@@ -266,3 +291,4 @@ def jaccard_pairs_blocked(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return out.distinct() if dedup_pairs else out

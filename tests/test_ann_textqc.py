@@ -57,6 +57,36 @@ def test_ivf_topk(emb):
     assert got == again
     c2 = ivf_fit(emb, k=8, sample=256)
     assert (centroids == c2).all()
+    # hash-slice sampling: identical centroids at any parallelism and
+    # under a shuffled id order (the sample is a hash-order top-n, not a
+    # head-by-id slice)
+    c3 = ivf_fit(emb.repartition(13), k=8, sample=256)
+    assert (centroids == c3).all()
+    c4 = ivf_fit(emb.orderBy(F.desc("vec_id")), k=8, sample=256)
+    assert (centroids == c4).all()
+
+
+def test_ivf_recall_floor(emb):
+    """IVF recall floor, measured like the LSH one (VERDICT r2 #6 — the
+    approximation quality was previously unmeasured): mean recall@10 >=
+    0.8 over 20 fixed queries at nprobe=8 of k=16. The sf0.001
+    embeddings are random near-orthogonal vectors — the WORST case for
+    IVF (k-means finds no real cluster structure, true neighbors scatter
+    across cells), so the 0.8 floor needs nprobe/k = 1/2 here; measured
+    curve nprobe 4/6/8 -> 0.565/0.705/0.83 (BASELINE.md). Clustered real
+    embeddings reach the floor at far smaller nprobe."""
+    from cleanvision_spark.operators.ann import brute_force_topk, ivf_fit, ivf_topk
+
+    centroids = ivf_fit(emb, k=16, sample=512)
+    rows = emb.filter(F.col("vec_id") < 20).collect()
+    recalls = []
+    for r in rows:
+        q = [float(v) for v in r["embedding"]]
+        truth = {x["vec_id"] for x in brute_force_topk(emb, q, 10).collect()}
+        got = {x["vec_id"] for x in ivf_topk(emb, centroids, q, 10, nprobe=8).collect()}
+        recalls.append(len(got & truth) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.8, f"mean recall@10 {mean} ({recalls})"
 
 
 def test_lsh_deterministic(emb):

@@ -128,3 +128,40 @@ def test_langid_surprisal_values(spark):
         sq = surprisal_quantiles(r["content"])
         assert abs(r["q_p99"] - sq["q_p99"]) < 1e-12, r["path"]
         assert abs(r["q_mean"] - sq["q_mean"]) < 1e-12, r["path"]
+
+
+def test_jaccard_lsh_default_blocking(docs, spark):
+    """block_cols=None now blocks by MinHash band buckets (the scale-safe
+    default): planted near-variant pairs (high true jaccard) must
+    surface, pairs must be unique, and every reported jaccard must match
+    the explicit-block variant's value for the same pair."""
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.dedup import jaccard_pairs_blocked
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_blocked(docs, "doc_id", threshold=0.5).collect()
+    }
+    release_tracked()
+    # planted _near variants (doc_id + 2000000) differ by one appended
+    # token: jaccard ~ n/(n+1) -> well above 0.5, and LSH at 16x8 bands
+    # catches ~all of them
+    near_pairs = [(i, i + 2000000) for i in range(8)]
+    found = [p for p in near_pairs if p in lsh]
+    assert len(found) >= 7, f"LSH blocking missed near pairs: {found}"
+    # no duplicate pairs despite multi-band collisions
+    assert len(lsh) == len(set(lsh))
+    # values agree with an explicit single-block run restricted to the
+    # planted rows (ground truth within one block)
+    planted = docs.filter(
+        (F.col("doc_id") < 8) | (F.col("doc_id") >= 2000000)
+    ).withColumn("_one", F.lit(1))
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_blocked(
+            planted, "doc_id", block_cols=["_one"], token_bucket_width=10**9,
+            threshold=0.5,
+        ).collect()
+    }
+    for p in found:
+        assert lsh[p] == exact[p]
