@@ -765,6 +765,58 @@ def _q_image_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_planted(spark: SparkSession, sf_dir: str):
+    """Synthesized media table with planted byte-identical duplicates:
+    netpbm payloads from every document plus re-keyed copies of the
+    first 8 (doc_id + 3000000, same bytes) — md5 groups are non-trivial
+    at every sf. Pure Catalyst; mirrored by the SQL in oracle_sql()."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(
+        F.concat(F.lit("P5\n32 32\n255\n"), F.rpad(F.col("text"), 1024, "x")),
+        "UTF-8",
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+    )
+    dup = docs.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 3000000).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+    )
+    return base.unionByName(dup)
+
+
+def _q_image_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate grouping, md5 family (the reference's exact-dup
+    hash, duplicate_issue_manager.py:26-31) — full DuckDB oracle over
+    the synthesized payload strings."""
+    from cleanvision_spark.operators.imageqc import image_duplicate_scores
+
+    _prepare(spark)
+    out = image_duplicate_scores(_media_planted(spark, sf_dir), "md5")
+    return out.select(
+        "media_id", "img_hash", "dup_count", "dup_score", "is_duplicate", "is_canonical"
+    )
+
+
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (phash) duplicate grouping over decoded pixels —
+    the reference's near-duplicate semantics (hash_type='phash',
+    duplicate_issue_manager.py:35-36,78). Rows-only: pixel hashing is
+    not SQL-expressible; values covered by tests/test_imageqc.py."""
+    from cleanvision_spark.operators.imageqc import image_duplicate_scores
+
+    _prepare(spark)
+    out = image_duplicate_scores(_media_planted(spark, sf_dir), "phash")
+    return out.select(
+        "media_id", "img_hash", "dup_count", "dup_score", "is_duplicate", "is_canonical"
+    )
+
+
 def _q_quality_filter_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline's SQL-expressible projection (expression
     issues + odd_size + exact duplicates + scrub hash) with a full
@@ -1043,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_sha256": _q_scrub_sha256,
         "media_features": _q_media_features,
         "image_issues": _q_image_issues,
+        "image_dup_scores": _q_image_dup_scores,
+        "image_near_dups": _q_image_near_dups,
         "quality_filter_exprs": _q_quality_filter_exprs,
         "quality_filter_full": _q_quality_filter_full,
         "langid_surprisal": _q_langid_surprisal,
@@ -1243,6 +1297,30 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(e.ent, 0.0), 6) AS byte_entropy,
                    sha256(m.text) AS content_hash
             FROM m LEFT JOIN e USING (media_id)
+        """,
+        "image_dup_scores": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     'P5' || chr(10) || '32 32' || chr(10) || '255' || chr(10)
+                       || rpad(text, 1024, 'x') AS s
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 3000000,
+                     'P5' || chr(10) || '32 32' || chr(10) || '255' || chr(10)
+                       || rpad(text, 1024, 'x')
+              FROM documents WHERE doc_id < 8
+            ),
+            h AS (SELECT media_id, md5(s) AS img_hash FROM m),
+            g AS (
+              SELECT img_hash, count(*)::BIGINT AS dup_count,
+                     min(media_id) AS canon
+              FROM h GROUP BY 1
+            )
+            SELECT h.media_id, h.img_hash, g.dup_count,
+                   round(1.0::DOUBLE / g.dup_count, 6) AS dup_score,
+                   g.dup_count > 1 AS is_duplicate,
+                   h.media_id = g.canon AS is_canonical
+            FROM h JOIN g USING (img_hash)
         """,
         "quality_filter_exprs": f"""
             {_ISSUE_SQL_ALL},

@@ -160,42 +160,37 @@ def dedup_embedding_cosine(
     return pairs.distinct()
 
 
-def dedup_simhash_hamming(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
+def hamming_pairs(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "hash64",
     max_hamming: int = 3,
     n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance <= max_hamming.
+    """All (id_a, id_b, hamming) pairs within Hamming <= max_hamming over
+    a 64-bit hash column — the generic pigeonhole engine behind SimHash
+    text near-dups and perceptual-hash image near-dups.
 
-    Pigeonhole blocking: the 61-bit simhash splits into n_blocks chunks;
-    two hashes within Hamming k < n_blocks must agree on at least one
-    whole chunk, so candidates = pairs sharing any (block_id, block_value)
+    Pigeonhole blocking: the hash splits into n_blocks chunks; two
+    hashes within Hamming k < n_blocks must agree on at least one whole
+    chunk, so candidates = pairs sharing any (block_id, block_value)
     bucket — an equi-join, never a cross join — then the exact Hamming
     distance (xor + bit_count, pure JVM) filters. Exhaustive for
     k <= n_blocks - 1.
-    """
-    from cleanvision_spark.cache import tracked_persist
-    from cleanvision_spark.functions.hashing import simhash64_udf
 
+    The caller owns persisting ``hashed`` when it comes from a UDF (the
+    frame is self-joined here, so an unpersisted UDF would evaluate on
+    both sides)."""
     bits_per = 64 // n_blocks
-    # persisted: `blocks` (derived below) is self-joined as l/r, so
-    # without the persist the SimHash UDF evaluates on both sides
-    hashed = tracked_persist(
-        df.select(
-            F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash")
-        )
-    )
     blocks = hashed.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("_h64"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("block_id"),
-                        F.shiftrightunsigned(F.col("simhash"), b * bits_per)
+                        F.shiftrightunsigned(F.col(hash_col), b * bits_per)
                         .bitwiseAND(F.lit((1 << bits_per) - 1))
                         .alias("block_val"),
                     )
@@ -203,9 +198,9 @@ def dedup_simhash_hamming(
                 ]
             )
         ).alias("_blk"),
-    ).select("id", "simhash", "_blk.block_id", "_blk.block_val")
+    ).select("id", "_h64", "_blk.block_id", "_blk.block_val")
     l, r = blocks.alias("l"), blocks.alias("r")
-    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    hamming = F.bit_count(F.col("l._h64").bitwiseXOR(F.col("r._h64")))
     return (
         l.join(
             r,
@@ -223,6 +218,28 @@ def dedup_simhash_hamming(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_simhash_hamming(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance <= max_hamming
+    (pigeonhole blocking via ``hamming_pairs``)."""
+    from cleanvision_spark.cache import tracked_persist
+    from cleanvision_spark.functions.hashing import simhash64_udf
+
+    # persisted: hamming_pairs self-joins the frame, so without the
+    # persist the SimHash UDF evaluates on both sides
+    hashed = tracked_persist(
+        df.select(
+            F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("simhash")
+        )
+    )
+    return hamming_pairs(hashed, "id", "simhash", max_hamming, n_blocks)
 
 
 def jaccard_pairs_blocked(

@@ -319,3 +319,223 @@ def image_issue_scores(props: DataFrame, params: dict | None = None) -> DataFram
 def image_issues(df: DataFrame, params: dict | None = None) -> DataFrame:
     """decode + raw properties + scores/flags, end to end."""
     return image_issue_scores(image_properties(df), params)
+
+
+# --- perceptual hashing + duplicate grouping --------------------------------
+# The reference's duplicate detection hashes IMAGES, not text
+# (duplicate_issue_manager.py:19-44): exact = md5 of the encoded file,
+# near = perceptual hash EQUALITY, default phash (hash_size 8,
+# :77-78). phash/ahash/dhash reimplement the imagehash formulas
+# (DCT low-frequency median split / mean split / row gradient); the
+# one substitution is the block-mean downscale for PIL ANTIALIAS.
+
+
+# Hashes must be bit-identical on every executor, python build, and BLAS
+# config — a single flipped bit breaks equality grouping. Float DCT bits
+# proved environment-sensitive in practice (coefficients near the median
+# flipped between driver and worker processes), so the whole hash
+# pipeline is INTEGER arithmetic: block means quantized to 1/64 gray
+# levels, DCT basis quantized to 1/1024 — exact int64 everywhere, no FP.
+
+_DCT_SCALE = 1 << 10  # basis quantization; |entries| <= 2^11
+
+
+def _dct_matrix_int(n: int) -> np.ndarray:
+    """Quantized unnormalized DCT-II matrix (scipy.fftpack.dct formula
+    M[k,i] = 2*cos(pi*k*(2i+1)/(2n)), scaled by _DCT_SCALE and rounded
+    to int64). Max |value| after a 32x32 2D transform stays < 2^46."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    return np.round(
+        _DCT_SCALE * 2.0 * np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+    ).astype(np.int64)
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """Row-major boolean array -> signed 64-bit int (Spark LongType)."""
+    v = 0
+    for b in bits.ravel():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _resize_gray_q(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(h, w) int64 block means quantized to 1/64 gray level:
+    (64 * block_sum) // block_count — pure integer arithmetic, so the
+    result is identical on any hardware/numpy/BLAS configuration."""
+    gray = _to_gray(_strip_alpha(img)[0]).astype(np.int64)
+    gh, gw = gray.shape
+    ys = (np.arange(h + 1) * gh) // h  # integer grid: no float truncation
+    xs = (np.arange(w + 1) * gw) // w
+    out = np.empty((h, w), dtype=np.int64)
+    for yi in range(h):
+        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+        for xi in range(w):
+            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+            block = gray[y0:y1, x0:x1]
+            out[yi, xi] = (64 * int(block.sum())) // block.size
+    return out
+
+
+def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """imagehash.phash: gray 32x32, 2D DCT-II, top-left 8x8 block,
+    median split — computed entirely in int64 (quantized means + basis;
+    the median comparison doubles both sides to stay integral), so the
+    hash is a pure function of pixel content on any executor."""
+    n = hash_size * highfreq_factor
+    small = _resize_gray_q(img, n, n)  # |values| <= 255*64 < 2^14
+    d = _dct_matrix_int(n)
+    dct = d @ small @ d.T  # int64 exact: <= 32^2 * 2^11 * 2^14 * 2^11 < 2^46
+    low = dct[:hash_size, :hash_size].ravel()
+    mid = np.sort(low)[low.size // 2 - 1 : low.size // 2 + 1]
+    med2 = int(mid[0]) + int(mid[1])  # 2 * median, exact
+    return _pack_bits((2 * low > med2).reshape(hash_size, hash_size))
+
+
+def ahash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """imagehash.average_hash: gray 8x8, mean split (integer: compare
+    n * value > sum)."""
+    small = _resize_gray_q(img, hash_size, hash_size)
+    return _pack_bits(small * small.size > int(small.sum()))
+
+
+def dhash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """imagehash.dhash: gray (hash_size)x(hash_size+1), row gradient
+    (integer compare of adjacent quantized means)."""
+    small = _resize_gray_q(img, hash_size, hash_size + 1)
+    return _pack_bits(small[:, 1:] > small[:, :-1])
+
+
+IMAGE_HASHERS = {"phash": phash64, "ahash": ahash64, "dhash": dhash64}
+
+IMAGE_HASH64_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("img_hash64", T.LongType(), True),
+    ]
+)
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("img_hash", T.StringType(), True),
+    ]
+)
+
+
+def image_hashes_long(df: DataFrame, hash_type: str = "phash") -> DataFrame:
+    """(media_id, format, img_hash64) — perceptual 64-bit hash of the
+    decoded pixels, ONE mapInPandas pass; null for undecodable rows.
+    The long form feeds Hamming-distance blocking (bit ops stay JVM);
+    use image_hashes for the imagehash-style hex string."""
+    if hash_type not in IMAGE_HASHERS:
+        raise ValueError(
+            f"hash_type {hash_type!r} not supported; use one of {list(IMAGE_HASHERS)}"
+        )
+    hasher = IMAGE_HASHERS[hash_type]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, hashes = [], []
+            for p in pdf["payload"]:
+                fmt, img = _decode_image(p)
+                fmts.append(fmt)
+                hashes.append(hasher(img) if img is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "format": fmts,
+                    # nullable Int64, NOT a plain list: with a None present
+                    # pandas would coerce the column to float64, and 64-bit
+                    # hash magnitudes exceed 2^53 — the round-trip silently
+                    # rewrites low bits (found as a 2-bit phash corruption
+                    # on every batch containing an undecodable row)
+                    "img_hash64": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(op, IMAGE_HASH64_SCHEMA)
+
+
+def image_hashes(df: DataFrame, hash_type: str = "phash") -> DataFrame:
+    """(media_id, format, img_hash) — ``md5`` hashes the raw payload
+    bytes (the reference's exact-duplicate family,
+    duplicate_issue_manager.py:26-31); the perceptual families hash
+    decoded pixels, rendered as the 16-hex-digit string imagehash
+    prints (derived in Catalyst from the long form). Undecodable rows
+    carry a null perceptual hash."""
+    import hashlib
+
+    if hash_type == "md5":
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "media_id": m,
+                            "format": _decode_image(p)[0],
+                            "img_hash": hashlib.md5(p or b"").hexdigest(),
+                        }
+                        for m, p in zip(pdf["media_id"], pdf["payload"])
+                    ],
+                    columns=["media_id", "format", "img_hash"],
+                )
+
+        return df.mapInPandas(op, IMAGE_HASH_SCHEMA)
+    return image_hashes_long(df, hash_type).select(
+        "media_id",
+        "format",
+        F.lower(F.lpad(F.hex("img_hash64"), 16, "0")).alias("img_hash"),
+    )
+
+
+def image_near_duplicate_pairs(
+    df: DataFrame,
+    hash_type: str = "phash",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image pairs within a perceptual-hash
+    Hamming radius — the beyond-the-reference extension of its
+    phash-equality near-dup check (tolerates small re-encodes/noise).
+    Pigeonhole-blocked equi-join via operators/dedup.hamming_pairs;
+    exhaustive for max_hamming <= n_blocks - 1."""
+    from cleanvision_spark.cache import tracked_persist
+    from cleanvision_spark.operators.dedup import hamming_pairs
+
+    # persisted: the pair join reads the hash frame twice (l/r)
+    hashed = tracked_persist(
+        image_hashes_long(df, hash_type).filter(F.col("img_hash64").isNotNull())
+    )
+    return hamming_pairs(hashed, "media_id", "img_hash64", max_hamming, n_blocks)
+
+
+def image_duplicate_scores(df: DataFrame, hash_type: str = "phash") -> DataFrame:
+    """1/k duplicate scores + canonical flag over hash-EQUALITY groups —
+    the reference's near/exact duplicate semantics on its literal image
+    domain (duplicate_issue_manager.py:96-139: groupby hash string,
+    score 1/n, one canonical kept). Same groupBy+join-back plan shape as
+    operators/duplicates (no window over mega-keys); rows with a null
+    hash (undecodable) score 1.0 / not duplicates."""
+    from cleanvision_spark.cache import tracked_persist
+
+    hashed = tracked_persist(image_hashes(df, hash_type))
+    groups = hashed.filter(F.col("img_hash").isNotNull()).groupBy("img_hash").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("media_id").alias("_canon"),
+    )
+    return hashed.join(groups, "img_hash", "left").select(
+        "media_id",
+        "format",
+        "img_hash",
+        F.coalesce("dup_count", F.lit(1)).alias("dup_count"),
+        F.round(F.lit(1.0) / F.coalesce("dup_count", F.lit(1)), 6).alias(
+            "dup_score"
+        ),
+        (F.coalesce("dup_count", F.lit(1)) > 1).alias("is_duplicate"),
+        (F.col("_canon").isNull() | (F.col("media_id") == F.col("_canon"))).alias(
+            "is_canonical"
+        ),
+    )

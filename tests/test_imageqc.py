@@ -133,3 +133,97 @@ def test_threshold_override(spark):
 
     release_tracked()
     assert strict["is_dark_issue"] and not default["is_dark_issue"]
+
+
+def test_perceptual_hash_kernels():
+    """Independent properties of the imagehash-formula kernels: identity
+    across encodings, robustness to mild noise (small Hamming), and
+    separation of unrelated images (large Hamming)."""
+    from cleanvision_spark.operators.imageqc import ahash64, dhash64, phash64
+
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    # same pixels -> same hash regardless of container format (callers
+    # hash the DECODED array)
+    for fn in (phash64, ahash64, dhash64):
+        assert fn(base) == fn(base.copy())
+    # mild noise: flip a few pixels slightly
+    noisy = base.copy()
+    noisy[::16, ::16] = np.clip(noisy[::16, ::16].astype(int) + 4, 0, 255).astype(
+        np.uint8
+    )
+    other = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(phash64(base), phash64(noisy)) <= 6
+    assert ham(phash64(base), phash64(other)) >= 16
+    # gray/color agreement: a gray-encoded copy of a gray image matches
+    gray3 = np.repeat(base[:, :, :1], 3, axis=2)
+    gray1 = base[:, :, :1]
+    assert phash64(gray3) == phash64(gray1)
+
+
+def test_image_duplicate_scores_and_pairs(spark):
+    """phash-equality groups (the reference's near-dup semantics) find a
+    re-encoded copy; md5 groups only byte-exact copies; Hamming pairs
+    find the mildly-noised variant that equality misses."""
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.imageqc import (
+        image_duplicate_scores,
+        image_near_duplicate_pairs,
+    )
+
+    rng = np.random.default_rng(34)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # gentle horizontal brightness gradient: phash Hamming 2 from img —
+    # inside the <=3 pair radius but NOT hash-equal
+    noisy = np.clip(
+        img.astype(int) + (np.arange(32)[None, :, None] - 16) * 6 // 16, 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", _ppm(img), {}),                      # original (netpbm)
+        (2, "image", _png_bytes(img, filters=[1]), {}),   # same pixels, PNG
+        (3, "image", _ppm(noisy), {}),                    # near variant
+        (4, "image", _ppm(other), {}),                    # unrelated
+        (5, "image", b"not an image", {}),                # undecodable
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+
+    ph = {r["media_id"]: r for r in image_duplicate_scores(df, "phash").collect()}
+    release_tracked()
+    # executor hash == driver kernel hash (deterministic einsum DCT —
+    # a threaded-BLAS matmul flipped median-boundary bits across workers)
+    from cleanvision_spark.operators.imageqc import phash64
+
+    assert ph[1]["img_hash"] == format(phash64(img) & ((1 << 64) - 1), "016x")
+    assert ph[1]["img_hash"] == ph[2]["img_hash"]  # re-encode: same pixels
+    assert ph[1]["is_duplicate"] and ph[2]["is_duplicate"]
+    assert ph[1]["is_canonical"] and not ph[2]["is_canonical"]
+    assert ph[1]["dup_score"] == 0.5
+    assert not ph[4]["is_duplicate"]
+    assert ph[5]["img_hash"] is None and not ph[5]["is_duplicate"]
+    assert ph[5]["dup_score"] == 1.0
+
+    md = {r["media_id"]: r for r in image_duplicate_scores(df, "md5").collect()}
+    release_tracked()
+    assert md[1]["img_hash"] != md[2]["img_hash"]  # different bytes
+    assert not md[1]["is_duplicate"]
+
+    assert ph[1]["img_hash"] != ph[3]["img_hash"]  # gradient: not equal...
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicate_pairs(df, "phash", max_hamming=3).collect()
+    }
+    release_tracked()
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 3  # ...but in radius
+    assert not any(4 in p for p in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_duplicate_scores(df, "whash").collect()
