@@ -59,7 +59,11 @@ def main() -> None:
 
     from cleanvision_spark.cache import release_tracked
     from cleanvision_spark.operators.ann import brute_force_topk
-    from cleanvision_spark.operators.dedup import dedup_simhash, dedup_simhash_hamming
+    from cleanvision_spark.operators.dedup import (
+        dedup_simhash,
+        dedup_simhash_hamming,
+        jaccard_pairs_blocked,
+    )
     from cleanvision_spark.plans.pipeline import quality_filter
     from cleanvision_spark.sources.corpus import corpus_from_documents, read_corpus
 
@@ -127,6 +131,26 @@ def main() -> None:
         "scan the persisted hash table; candidates are an equi-join on "
         "(block_id, block_val), never a cross join.",
         metrics(dedup_simhash_hamming(docs, "doc_id")),
+    ))
+    release_tracked()
+
+    sections.append((
+        "Pixel-domain image issues (decode + score)",
+        "ONE mapInPandas decode/properties pass (a single Arrow stage), "
+        "persisted because both the odd_size stats agg and the row branch "
+        "consume it (cached reuse >= Arrow stages); scores/flags are pure "
+        "Catalyst; the global IQR joins back as a broadcast of one row.",
+        metrics(e.queries()["image_issues"](spark, SF)),
+    ))
+    release_tracked()
+
+    sections.append((
+        "Jaccard refinement, LSH-default blocking",
+        "block_cols=None blocks by MinHash band buckets: the self-join is an "
+        "equi-join on an 8-byte band key, the signature UDF evaluates once "
+        "(persisted projection feeds both sides), and no token-length "
+        "mega-block can form.",
+        metrics(jaccard_pairs_blocked(docs, "doc_id")),
     ))
     release_tracked()
 
