@@ -16,8 +16,9 @@ partial aggregation, broadcast global stats, salted skew handling, AQE).
 
 from cleanvision_spark.codelab import CodeLab
 from cleanvision_spark.config import DEFAULT_ISSUE_TYPES, merge_params
+from cleanvision_spark.medialab import MediaLab
 from cleanvision_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["CodeLab", "DEFAULT_ISSUE_TYPES", "merge_params", "get_spark"]
+__all__ = ["CodeLab", "MediaLab", "DEFAULT_ISSUE_TYPES", "merge_params", "get_spark"]

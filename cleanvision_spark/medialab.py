@@ -1,0 +1,200 @@
+"""MediaLab — the Imagelab facade on the reference's LITERAL domain
+(binary image payloads), complementing CodeLab's code recast.
+
+Reference surface: /root/reference/src/cleanvision/imagelab.py —
+__init__ :122-154, find_issues :202-300, report :376-471,
+save/load :667-703 — with the same Spark-first choices as CodeLab:
+``issues``/``issue_summary`` are lazy DataFrames, save() writes parquet
++ a JSON manifest via the Hadoop FS API, Spark owns parallelism.
+
+Default issue set mirrors the reference's defaults: the seven
+image-property issues (dark, light, odd_aspect_ratio, low_information,
+blurry, grayscale, odd_size — operators/imageqc, exact reference
+formulas/thresholds) plus exact_duplicates (md5 of bytes) and
+near_duplicates (phash equality) per duplicate_issue_manager.py:77-78.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleanvision_spark.config import flag_col, score_col
+
+_MANIFEST = "medialab_manifest.json"
+
+PIXEL_ISSUES = [
+    "dark",
+    "light",
+    "odd_aspect_ratio",
+    "low_information",
+    "blurry",
+    "grayscale",
+    "odd_size",
+]
+DUP_ISSUES = {"exact_duplicates": "md5", "near_duplicates": "phash"}
+DEFAULT_ISSUES = PIXEL_ISSUES + list(DUP_ISSUES)
+
+
+def _dup_columns(df: DataFrame, issue: str, hash_type: str) -> DataFrame:
+    """exact/near duplicate score+flag columns from hash-equality groups
+    (duplicate_issue_manager semantics: 1/k score, flag = in a group of
+    >= 2, canonical kept). Returns (media_id, <issue>_score,
+    is_<issue>_issue, _is_canonical_<issue>, <issue>_hash)."""
+    from cleanvision_spark.operators.imageqc import image_duplicate_scores
+
+    out = image_duplicate_scores(df, hash_type)
+    return out.select(
+        "media_id",
+        F.col("dup_score").alias(score_col(issue)),
+        F.col("is_duplicate").alias(flag_col(issue)),
+        F.col("is_canonical").alias(f"_is_canonical_{issue}"),
+        F.col("img_hash").alias(f"{issue}_hash"),
+    )
+
+
+class MediaLab:
+    """Imagelab-parity facade over a (media_id, media_type, payload,
+    meta) table."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.issues: DataFrame | None = None
+        self.issue_summary: DataFrame | None = None
+        self.info: dict[str, Any] = {}
+        self._issue_types: list[str] = []
+        self._total_rows: int | None = None
+
+    # -- find_issues (imagelab.py:202-300) ---------------------------------
+    def find_issues(self, issue_types: dict | None = None) -> "MediaLab":
+        from cleanvision_spark.operators.imageqc import (
+            IMAGE_ISSUE_DEFAULTS,
+            image_issue_scores,
+            image_properties,
+        )
+        from cleanvision_spark.operators.summary import issue_summary, merge_summaries
+
+        which = list(issue_types) if issue_types else DEFAULT_ISSUES
+        unknown = [w for w in which if w not in DEFAULT_ISSUES]
+        if unknown:
+            raise ValueError(f"unknown issue types: {unknown}")
+        params = {
+            k: {**v, **(issue_types or {}).get(k, {})}
+            for k, v in IMAGE_ISSUE_DEFAULTS.items()
+        }
+        pixel = [w for w in which if w in PIXEL_ISSUES]
+        out: DataFrame | None = None
+        if pixel:
+            scored = image_issue_scores(image_properties(self.df), params)
+            keep = ["media_id", "format", "width", "height", "channels"] + [
+                c
+                for i in pixel
+                for c in (score_col(i), flag_col(i))
+            ]
+            out = scored.select(*keep)
+        for issue, hash_type in DUP_ISSUES.items():
+            if issue not in which:
+                continue
+            hash_type = (issue_types or {}).get(issue, {}).get("hash_type", hash_type)
+            cols = _dup_columns(self.df, issue, hash_type)
+            out = cols if out is None else out.join(cols, "media_id", "left")
+        # accretion (imagelab.py:305-313): recomputed issue columns
+        # overwrite, previously-computed ones join back by key
+        if self.issues is not None:
+            prev_cols = [
+                c
+                for c in self.issues.columns
+                if c not in out.columns or c == "media_id"
+            ]
+            out = out.join(self.issues.select(*prev_cols), "media_id", "left")
+        self.issues = out
+        self._total_rows = None
+        summary = issue_summary(out, which)
+        self.issue_summary = merge_summaries(self.issue_summary, summary)
+        self._issue_types = sorted(set(self._issue_types) | set(which))
+        self.info["issue_types"] = self._issue_types
+        return self
+
+    def _count_rows(self) -> int:
+        if self._total_rows is None:
+            self._total_rows = self.issues.count()
+        return self._total_rows
+
+    # -- report (imagelab.py:376-471) ---------------------------------------
+    def report_markdown(self, num_rows: int = 4, max_prevalence: float = 0.5) -> str:
+        from cleanvision_spark.operators.summary import prevalence_filter, top_k_severe
+
+        if self.issues is None:
+            raise RuntimeError("run find_issues first")
+        total = self._count_rows()
+        summary = prevalence_filter(self.issue_summary, total, max_prevalence)
+        lines = ["# MediaLab report", "", f"Media analyzed: **{total}**", ""]
+        lines += ["| issue type | files |", "|---|---|"]
+        rows = [r for r in summary.collect() if r["num_files"]]
+        for row in rows:
+            lines.append(f"| {row['issue_type']} | {row['num_files']} |")
+        for row in rows:
+            issue = row["issue_type"]
+            lines += ["", f"## {issue}", ""]
+            if issue in DUP_ISSUES:
+                # largest duplicate sets first (imagelab.py:522-526)
+                lines += ["| set size | canonical media_id |", "|---|---|"]
+                sets = (
+                    self.issues.filter(F.col(flag_col(issue)))
+                    .groupBy(f"{issue}_hash")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min("media_id").alias("canonical"),
+                    )
+                    .orderBy(F.desc("n"), F.asc("canonical"))
+                    .limit(num_rows)
+                )
+                for r in sets.collect():
+                    lines.append(f"| {r['n']} | {r['canonical']} |")
+            else:
+                lines += ["| media_id | score |", "|---|---|"]
+                top = top_k_severe(self.issues, issue, k=num_rows, key_cols=["media_id"])
+                for r in top.select("media_id", score_col(issue)).collect():
+                    lines.append(f"| {r['media_id']} | {r[score_col(issue)]:.4f} |")
+        return "\n".join(lines) + "\n"
+
+    # -- save/load (imagelab.py:667-703) -------------------------------------
+    def save(self, path: str, force: bool = False, report: bool = True) -> None:
+        from cleanvision_spark import __version__, fsutil
+
+        if self.issues is None:
+            raise RuntimeError("run find_issues first")
+        mode = "overwrite" if force else "errorifexists"
+        self.issues.write.mode(mode).parquet(f"{path}/issues")
+        self.issue_summary.write.mode(mode).parquet(f"{path}/issue_summary")
+        spark = self.issues.sparkSession
+        if report:
+            fsutil.write_text(spark, f"{path}/report.md", self.report_markdown())
+        manifest = {"version": __version__, "issue_types": self._issue_types}
+        fsutil.write_text(spark, f"{path}/{_MANIFEST}", json.dumps(manifest, indent=2))
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, df: DataFrame | None = None
+    ) -> "MediaLab":
+        from cleanvision_spark import __version__, fsutil
+
+        text = fsutil.read_text(spark, f"{path}/{_MANIFEST}")
+        if text is None:
+            raise FileNotFoundError(f"{path}/{_MANIFEST}")
+        manifest = json.loads(text)
+        if manifest["version"] != __version__:  # serialize.py:32-41
+            import warnings
+
+            warnings.warn(
+                f"saved with version {manifest['version']}, current {__version__}"
+            )
+        lab = cls(df if df is not None else spark.read.parquet(f"{path}/issues"))
+        lab.issues = spark.read.parquet(f"{path}/issues")
+        lab.issue_summary = spark.read.parquet(f"{path}/issue_summary")
+        lab._issue_types = manifest.get("issue_types", [])
+        lab.info["issue_types"] = lab._issue_types
+        return lab

@@ -406,7 +406,70 @@ def dhash64(img: np.ndarray, hash_size: int = 8) -> int:
     return _pack_bits(small[:, 1:] > small[:, :-1])
 
 
-IMAGE_HASHERS = {"phash": phash64, "ahash": ahash64, "dhash": dhash64}
+def whash64(img: np.ndarray, hash_size: int = 8) -> int:
+    """imagehash.whash (Haar) reduced to its integer-exact equivalent:
+    the level-k Haar LL band of a 2^n image IS the block means scaled by
+    2^k, and whash's remove-max-LL step subtracts a CONSTANT (the
+    global mean) from every reconstructed pixel — a uniform shift that
+    cannot change the median split. So whash == median split of the
+    hash_size x hash_size block means (ahash with median instead of
+    mean). Computed on quantized integer means, doubled-median compare."""
+    small = _resize_gray_q(img, hash_size, hash_size)
+    flat = small.ravel()
+    mid = np.sort(flat)[flat.size // 2 - 1 : flat.size // 2 + 1]
+    med2 = int(mid[0]) + int(mid[1])
+    return _pack_bits((2 * flat > med2).reshape(hash_size, hash_size))
+
+
+def chash64(img: np.ndarray, binbits: int = 3) -> int:
+    """imagehash.colorhash analog, integer-exact: fractions of
+    black / gray / white pixels plus a 6-bin hue histogram of the
+    saturated pixels, each fraction quantized to ``binbits`` bits —
+    9 * binbits = 27 bits (<= 64). Hue/saturation/value come from an
+    integer max/min-channel HSV; thresholds value<32 = black,
+    value>223 & sat<32 = white, sat<32 otherwise = gray."""
+    rgb, _ = _strip_alpha(img)
+    if rgb.shape[2] == 1:
+        rgb = np.repeat(rgb, 3, axis=2)
+    px = rgb.reshape(-1, 3).astype(np.int64)
+    mx = px.max(axis=1)
+    mn = px.min(axis=1)
+    sat = mx - mn  # unscaled chroma: enough for thresholding
+    black = mx < 32
+    white = (~black) & (mx > 223) & (sat < 32)
+    gray = (~black) & (~white) & (sat < 32)
+    colored = ~(black | white | gray)
+    n = len(px)
+    fracs = [int(black.sum()), int(gray.sum()), int(white.sum())]
+    # 6 hue sextants from the dominant channel, integer comparisons only
+    r, g, b = px[:, 0], px[:, 1], px[:, 2]
+    hue_bin = np.zeros(n, dtype=np.int64)
+    is_r = (mx == r) & colored
+    is_g = (mx == g) & colored & ~is_r
+    is_b = colored & ~is_r & ~is_g
+    hue_bin[is_r & (g >= b)] = 0
+    hue_bin[is_r & (g < b)] = 5
+    hue_bin[is_g & (b >= r)] = 2
+    hue_bin[is_g & (b < r)] = 1
+    hue_bin[is_b & (r >= g)] = 4
+    hue_bin[is_b & (r < g)] = 3
+    for s in range(6):
+        fracs.append(int(((hue_bin == s) & colored).sum()))
+    scale = (1 << binbits) - 1
+    v = 0
+    for f in fracs:
+        q = (f * scale) // n if n else 0
+        v = (v << binbits) | q
+    return v  # 9*binbits bits, always positive (fits signed 64)
+
+
+IMAGE_HASHERS = {
+    "phash": phash64,
+    "ahash": ahash64,
+    "dhash": dhash64,
+    "whash": whash64,
+    "chash": chash64,
+}
 
 IMAGE_HASH64_SCHEMA = T.StructType(
     [

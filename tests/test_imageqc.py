@@ -226,4 +226,58 @@ def test_image_duplicate_scores_and_pairs(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        image_duplicate_scores(df, "whash").collect()
+        image_duplicate_scores(df, "xhash").collect()
+
+
+def test_whash_chash_kernels():
+    """All six reference hash families resolve (duplicate_issue_manager
+    supported_types: md5/whash/phash/ahash/dhash/chash); whash and chash
+    behave sensibly: identity, robustness, separation."""
+    from cleanvision_spark.operators.imageqc import chash64, whash64
+
+    rng = np.random.default_rng(41)
+    # bounded below 248 so the +7 shift below saturates nowhere
+    base = rng.integers(0, 248, size=(64, 64, 3), dtype=np.uint8)
+    other = rng.integers(0, 248, size=(64, 64, 3), dtype=np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for fn in (whash64, chash64):
+        assert fn(base) == fn(base.copy())
+    assert ham(whash64(base), whash64(other)) >= 8
+    # whash == median split of block means: a uniform brightness shift
+    # leaves it unchanged (the remove-max-LL equivalence)
+    shifted = np.clip(base.astype(int) + 7, 0, 255).astype(np.uint8)
+    assert whash64(base) == whash64(shifted)
+    # chash: a pure-red image concentrates in one hue bin; pure black
+    # concentrates in the black fraction
+    red = np.zeros((16, 16, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    black = np.zeros((16, 16, 3), dtype=np.uint8)
+    assert chash64(red) != chash64(black)
+    assert chash64(black) >> 24 == 7  # black fraction saturates its 3 bits
+    # gray image: zero saturation everywhere -> gray fraction saturates
+    gray = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assert (chash64(gray) >> 21) & 7 == 7
+
+
+def test_all_hash_families_in_spark(spark):
+    """Every selectable family runs through image_duplicate_scores and
+    groups a byte-identical copy."""
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.imageqc import image_duplicate_scores
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", _ppm(img), {}),
+        (2, "image", _ppm(img), {}),  # byte-identical copy
+        (3, "image", _ppm(rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)), {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for family in ("md5", "phash", "ahash", "dhash", "whash", "chash"):
+        out = {r["media_id"]: r for r in image_duplicate_scores(df, family).collect()}
+        release_tracked()
+        assert out[1]["img_hash"] == out[2]["img_hash"], family
+        assert out[1]["is_duplicate"] and out[1]["is_canonical"], family

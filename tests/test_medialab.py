@@ -1,0 +1,93 @@
+"""MediaLab facade: the Imagelab workflow (find_issues -> summary ->
+report -> save/load -> accretion) on binary image payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.medialab import MediaLab
+from cleanvision_spark.operators.multimodal import MEDIA_SCHEMA
+from tests.test_imageqc import _ppm, _solid
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rng = np.random.default_rng(51)
+    noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", _ppm(_solid(8)), {}),                 # dark
+        (2, "image", _ppm(noise), {}),                     # clean
+        (3, "image", _ppm(noise), {}),                     # exact dup of 2
+        (4, "image", _ppm(rng.integers(0, 256, size=(64, 64, 1), dtype=np.uint8)), {}),  # grayscale
+        (5, "image", b"broken", {}),                       # undecodable
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_find_issues_and_report(media):
+    from cleanvision_spark.cache import release_tracked
+
+    lab = MediaLab(media).find_issues()
+    got = {r["media_id"]: r for r in lab.issues.collect()}
+    assert got[1]["is_dark_issue"] and not got[2]["is_dark_issue"]
+    assert got[4]["is_grayscale_issue"]
+    # byte-identical pair flagged by BOTH dup families, canonical = min id
+    for issue in ("exact_duplicates", "near_duplicates"):
+        assert got[2][f"is_{issue}_issue"] and got[3][f"is_{issue}_issue"]
+        assert got[2][f"_is_canonical_{issue}"] and not got[3][f"_is_canonical_{issue}"]
+        assert got[2][f"{issue}_score"] == 0.5
+    summary = {r["issue_type"]: r["num_files"] for r in lab.issue_summary.collect()}
+    assert summary["exact_duplicates"] == 2 and summary["dark"] == 1
+    report = lab.report_markdown()
+    assert "# MediaLab report" in report and "exact_duplicates" in report
+    release_tracked()
+
+
+def test_subset_accretion(media):
+    """A second find_issues() recomputes only the requested issues and
+    keeps previous columns (imagelab accretion semantics)."""
+    from cleanvision_spark.cache import release_tracked
+
+    lab = MediaLab(media).find_issues({"dark": {}})
+    assert "is_dark_issue" in lab.issues.columns
+    assert "is_exact_duplicates_issue" not in lab.issues.columns
+    lab.find_issues({"exact_duplicates": {}})
+    cols = lab.issues.columns
+    assert "is_dark_issue" in cols and "is_exact_duplicates_issue" in cols
+    summary = {r["issue_type"]: r["num_files"] for r in lab.issue_summary.collect()}
+    assert set(summary) == {"dark", "exact_duplicates"}
+    with pytest.raises(ValueError):
+        MediaLab(media).find_issues({"nope": {}})
+    release_tracked()
+
+
+def test_save_load_roundtrip(media, spark, tmp_path):
+    from cleanvision_spark.cache import release_tracked
+
+    lab = MediaLab(media).find_issues()
+    out = str(tmp_path / "lab")
+    lab.save(out, report=True)
+    release_tracked()
+    lab2 = MediaLab.load(spark, out)
+    assert lab2._issue_types == lab._issue_types
+    assert lab2.issues.count() == media.count()
+    import os
+
+    assert os.path.exists(f"{out}/report.md")
+    # accretion on a loaded lab still works (hash columns preserved)
+    s1 = {r["issue_type"]: r["num_files"] for r in lab2.issue_summary.collect()}
+    assert s1["exact_duplicates"] == 2
+
+
+def test_hash_type_override(media):
+    """near_duplicates hash_type param is honored like the reference
+    manager's (duplicate_issue_manager.py:77-86)."""
+    from cleanvision_spark.cache import release_tracked
+
+    lab = MediaLab(media).find_issues({"near_duplicates": {"hash_type": "dhash"}})
+    got = {r["media_id"]: r for r in lab.issues.collect()}
+    assert got[2]["is_near_duplicates_issue"]  # identical pixels still group
+    assert len(got[2]["near_duplicates_hash"]) == 16  # 64-bit hex, not md5
+    release_tracked()
