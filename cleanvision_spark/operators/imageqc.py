@@ -234,6 +234,15 @@ def _clip01(c: Column) -> Column:
     return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
 
 
+PIXEL_ROW_ISSUES = [  # per-row issues (odd_size needs global stats)
+    "dark",
+    "light",
+    "odd_aspect_ratio",
+    "low_information",
+    "blurry",
+    "grayscale",
+]
+
 IMAGE_ISSUE_DEFAULTS: dict[str, dict[str, Any]] = {
     "dark": {"threshold": 0.32},
     "light": {"threshold": 0.05},
@@ -245,17 +254,52 @@ IMAGE_ISSUE_DEFAULTS: dict[str, dict[str, Any]] = {
 }
 
 
-def image_issue_scores(props: DataFrame, params: dict | None = None) -> DataFrame:
+def image_odd_size_stats(
+    props: DataFrame, iqr_factor: float = 3.0
+) -> tuple[float, float]:
+    """(mid_thr, thr_gap) of the global size IQR window over decoded
+    rows — collect once from a batch run to pin odd_size normalization
+    for streaming scoring (the same injection contract as
+    operators/issues.with_odd_size stats)."""
+    row = (
+        props.filter(F.col("size").isNotNull())
+        .agg(
+            F.percentile("size", F.lit(0.25)).alias("q1"),
+            F.percentile("size", F.lit(0.75)).alias("q3"),
+        )
+        .select(
+            (F.col("q1") - iqr_factor * (F.col("q3") - F.col("q1"))).alias("min_thr"),
+            (F.col("q3") + iqr_factor * (F.col("q3") - F.col("q1"))).alias("max_thr"),
+        )
+        .collect()[0]
+    )
+    mid = (row["min_thr"] + row["max_thr"]) / 2
+    return (mid, row["max_thr"] - row["min_thr"])
+
+
+def image_issue_scores(
+    props: DataFrame,
+    params: dict | None = None,
+    odd_size_stats: tuple[float, float] | None = None,
+) -> DataFrame:
     """Score + flag columns from the raw image properties — pure Catalyst
     expressions plus one broadcast 1-row IQR join for odd_size. Rows that
-    did not decode (format not netpbm/png) keep null scores/flags."""
-    from cleanvision_spark.cache import tracked_persist
+    did not decode (format not netpbm/png) keep null scores/flags.
 
+    ``odd_size_stats=(mid_thr, thr_gap)`` injects pinned global stats
+    instead of aggregating them — required on a streaming DataFrame
+    (no agg/persist in a stateless streaming plan; scores must derive
+    from a fixed scope anyway), optional in batch."""
     p = {k: {**v, **(params or {}).get(k, {})} for k, v in IMAGE_ISSUE_DEFAULTS.items()}
-    # persisted: props feeds both the odd_size stats agg and the row
-    # branch — without the persist an upstream properties UDF would
-    # evaluate twice per row (CLAUDE.md invariant; docs/PLANS.md)
-    out = tracked_persist(props)
+    if odd_size_stats is None:
+        from cleanvision_spark.cache import tracked_persist
+
+        # persisted: props feeds both the odd_size stats agg and the row
+        # branch — without the persist an upstream properties UDF would
+        # evaluate twice per row (CLAUDE.md invariant; docs/PLANS.md)
+        out = tracked_persist(props)
+    else:
+        out = props  # single consumer: no second branch to guard
     decoded = F.col("size").isNotNull()
 
     def put(issue: str, score: Column, flag: Column) -> None:
@@ -287,24 +331,30 @@ def image_issue_scores(props: DataFrame, params: dict | None = None) -> DataFram
     # grayscale (:293-341): score 0 for 'L', flag = score == 0
     gs = F.when(F.col("color_space") == "L", F.lit(0.0)).otherwise(F.lit(1.0))
     put("grayscale", gs, gs == F.lit(0.0))
-    # odd_size (:344-405): global IQR over decoded rows only, broadcast back
+    # odd_size (:344-405): global IQR over decoded rows only, broadcast
+    # back — or the injected pinned stats (streaming / resumed scoring)
     f = float(p["odd_size"]["iqr_factor"])
-    stats = (
-        out.filter(decoded)
-        .agg(
-            F.percentile("size", F.lit(0.25)).alias("q1"),
-            F.percentile("size", F.lit(0.75)).alias("q3"),
+    if odd_size_stats is not None:
+        out = out.withColumn("mid_thr", F.lit(float(odd_size_stats[0]))).withColumn(
+            "thr_gap", F.lit(float(odd_size_stats[1]))
         )
-        .select(
-            (F.col("q1") - f * (F.col("q3") - F.col("q1"))).alias("min_thr"),
-            (F.col("q3") + f * (F.col("q3") - F.col("q1"))).alias("max_thr"),
+    else:
+        stats = (
+            out.filter(decoded)
+            .agg(
+                F.percentile("size", F.lit(0.25)).alias("q1"),
+                F.percentile("size", F.lit(0.75)).alias("q3"),
+            )
+            .select(
+                (F.col("q1") - f * (F.col("q3") - F.col("q1"))).alias("min_thr"),
+                (F.col("q3") + f * (F.col("q3") - F.col("q1"))).alias("max_thr"),
+            )
+            .select(
+                ((F.col("min_thr") + F.col("max_thr")) / 2).alias("mid_thr"),
+                (F.col("max_thr") - F.col("min_thr")).alias("thr_gap"),
+            )
         )
-        .select(
-            ((F.col("min_thr") + F.col("max_thr")) / 2).alias("mid_thr"),
-            (F.col("max_thr") - F.col("min_thr")).alias("thr_gap"),
-        )
-    )
-    out = out.crossJoin(F.broadcast(stats))
+        out = out.crossJoin(F.broadcast(stats))
     norm = F.when(F.col("thr_gap") > 0, F.col("thr_gap")).otherwise(F.col("mid_thr"))
     os_score = F.lit(1.0) - _clip01(F.abs(F.col("size") - F.col("mid_thr")) / norm)
     dyn_thr = F.when(F.col("thr_gap") > 0, F.lit(0.5)).otherwise(F.lit(1.0))

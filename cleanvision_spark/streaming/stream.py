@@ -366,6 +366,37 @@ def foreach_batch_near_dedup_flags(
     return _sink
 
 
+def stream_media_issues(
+    stream_df: DataFrame,
+    params: dict | None = None,
+    odd_size_stats: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Stateless pixel-domain image scoring on a stream of (media_id,
+    media_type, payload, meta) rows: ONE mapInPandas decode+properties
+    pass, then the same Catalyst score/flag expressions as batch
+    (operators/imageqc). Dataset-global state (odd_size IQR) must be
+    INJECTED from a prior batch run (image_odd_size_stats) — a
+    stateless streaming plan cannot aggregate it, and pinned
+    normalization is what a production scorer wants anyway. A keep
+    column drops any flagged decodable row; undecodable rows keep
+    null flags and keep=false (quarantine, not silently pass)."""
+    from cleanvision_spark.operators.imageqc import (
+        PIXEL_ROW_ISSUES,
+        image_issue_scores,
+        image_properties,
+    )
+
+    out = image_issue_scores(
+        image_properties(stream_df), params, odd_size_stats=odd_size_stats
+    )
+    drop = F.lit(False)
+    for i in PIXEL_ROW_ISSUES + ["odd_size"]:
+        drop = drop | F.coalesce(F.col(flag_col(i)), F.lit(False))
+    return out.withColumn(
+        "keep", F.col("size").isNotNull() & ~drop
+    )
+
+
 def stream_issue_counts(scored: DataFrame, window: str = "1 minute") -> DataFrame:
     """Windowed issue-count metrics over processing time."""
     flags = [c for c in scored.columns if c.startswith("is_")]

@@ -290,3 +290,67 @@ def test_stream_event_windows(spark):
         # windows stay open, so we see most-but-not-all events
         assert got is None or got <= events.count()
         assert spark.sql("select count(*) c from ev_windows").collect()[0]["c"] >= 0
+
+
+def test_stream_media_issues(spark, tmp_path):
+    """Pixel-domain scoring as a streaming query: batch/stream parity on
+    flags + keep, with the odd_size IQR stats pinned from a batch run."""
+    import numpy as np
+
+    from cleanvision_spark.operators.imageqc import (
+        image_issue_scores,
+        image_odd_size_stats,
+        image_properties,
+    )
+    from cleanvision_spark.operators.multimodal import MEDIA_SCHEMA
+    from cleanvision_spark.streaming.stream import stream_media_issues
+    from tests.test_imageqc import _ppm, _solid
+
+    rng = np.random.default_rng(61)
+    noise = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", _ppm(_solid(8)), {}),   # dark -> dropped
+        (2, "image", _ppm(noise), {}),       # clean -> kept
+        (3, "image", b"broken", {}),         # undecodable -> quarantined
+        (4, "image", _ppm(rng.integers(0, 256, size=(1024, 1024, 3), dtype=np.uint8)), {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    src = str(tmp_path / "media_in")
+    df.repartition(2).write.parquet(src)
+
+    stats = image_odd_size_stats(image_properties(df))
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_media_issues(stream, odd_size_stats=stats)
+        .writeStream.format("memory")
+        .queryName("media_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["media_id"]: r
+        for r in spark.sql("select * from media_stream").collect()
+    }
+    assert len(got) == 4
+    assert got[1]["is_dark_issue"] and not got[1]["keep"]
+    assert got[2]["keep"]
+    assert got[3]["keep"] is False and got[3]["dark_score"] is None
+    # batch/stream parity with the same pinned stats
+    from cleanvision_spark.cache import release_tracked
+
+    batch = {
+        r["media_id"]: r
+        for r in image_issue_scores(
+            image_properties(df), odd_size_stats=stats
+        ).collect()
+    }
+    release_tracked()
+    for mid in (1, 2, 4):
+        for col in ("dark_score", "is_blurry_issue", "odd_size_score"):
+            assert got[mid][col] == batch[mid][col], (mid, col)
