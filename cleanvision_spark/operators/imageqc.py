@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from cleanvision_spark.config import flag_col, score_col
 from cleanvision_spark.operators.multimodal import (
     UnsupportedMediaVariant,
+    decode_jpeg,
     decode_png,
     decode_ppm,
 )
@@ -93,6 +94,11 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             try:
                 return "png", decode_png(b)
+            except UnsupportedMediaVariant:
+                return "unsupported", None
+        if b[:3] == b"\xff\xd8\xff":
+            try:
+                return "jpeg", decode_jpeg(b)
             except UnsupportedMediaVariant:
                 return "unsupported", None
         return "unsupported", None

@@ -4,16 +4,17 @@ Decode coverage is format-tiered:
 - REAL decoders, zero external deps: PPM/PGM images (P2/P3/P5/P6 —
   header + raw pixels, parsed with numpy), PNG (stdlib ``zlib`` IDAT
   inflate + per-scanline filter reconstruction in numpy — 8-bit
-  non-interlaced, color types 0/2/3/4/6) and PCM WAV audio (stdlib
-  ``wave``). ``decode_media`` emits width/height/channels, pixel
-  mean/std, an 8x8 grayscale thumbnail, sample rate / duration / RMS —
-  all computed distributed inside mapInPandas.
-- Remaining codec formats (JPEG/MP3/MP4) are GATED behind an import-try
-  of the optional library (PIL etc., absent from this container);
-  payloads in those formats — and valid-but-out-of-scope PNG variants
-  (16-bit, interlaced) — decode to ``format='unsupported'`` rows rather
-  than failing the job — at 100 TB a poison payload must never kill a
-  stage.
+  non-interlaced, color types 0/2/3/4/6), baseline JPEG (SOF0 Huffman:
+  canonical-code entropy decode, dequantize, integer 8x8 IDCT, chroma
+  upsample, YCbCr->RGB — grayscale/4:4:4/subsampled, restart markers)
+  and PCM WAV audio (stdlib ``wave``). ``decode_media`` emits
+  width/height/channels, pixel mean/std, an 8x8 grayscale thumbnail,
+  sample rate / duration / RMS — all computed distributed inside
+  mapInPandas.
+- Valid-but-out-of-scope variants (16-bit or interlaced PNG,
+  progressive/arithmetic/12-bit JPEG, video containers) decode to
+  ``format='unsupported'`` rows rather than failing the job — at
+  100 TB a poison payload must never kill a stage.
 
 Everything Spark-side is real and tested — the schema, the mapInPandas
 batch plumbing, partitioning, and a deterministic fake feature extractor
@@ -255,6 +256,299 @@ def decode_png(b: bytes) -> np.ndarray:
     return img
 
 
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_IDCT_SCALE_BITS = 12
+
+
+def _idct_matrix_int() -> np.ndarray:
+    """Orthonormal 8x8 DCT-III basis quantized to 2^12 — the IDCT runs
+    in exact int64 so decoded pixels are bit-identical on any
+    hardware/BLAS (perceptual hashes consume them; see imageqc)."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return np.round(c * (1 << _IDCT_SCALE_BITS)).astype(np.int64)
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte-destuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bitbuf", "bitcnt")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def bit(self) -> int:
+        if self.bitcnt == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.bitbuf = self.data[self.pos]
+            self.pos += 1
+            self.bitcnt = 8
+        self.bitcnt -= 1
+        return (self.bitbuf >> self.bitcnt) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.bitcnt = 0
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG signed magnitude extension (T.81 F.2.2.1)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0, 8-bit, Huffman) JPEG to (h, w, c) uint8
+    with stdlib + numpy only: marker walk, canonical Huffman entropy
+    decode, dequantize + de-zigzag, integer 8x8 IDCT, chroma upsample,
+    integer YCbCr->RGB. Grayscale, 4:4:4 and subsampled (e.g. 4:2:0)
+    layouts; restart markers honored. Progressive (SOF2) / 12-bit /
+    arithmetic variants raise UnsupportedMediaVariant; structural
+    damage raises ValueError ('corrupt' rows in decode_media).
+
+    Covers the reference's decode step (fsspec_dataset.py:55-59) for
+    the dominant lossy format. Entropy decode is per-block Python (a
+    real deployment swaps in PIL/turbojpeg via the same interface);
+    everything after it is vectorized/exact-integer numpy."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, qid)]
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        ln = int.from_bytes(b[pos : pos + 2], "big")
+        seg = b[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise UnsupportedMediaVariant("16-bit quant tables")
+                qt[tq] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(
+                    np.int64
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                tbl = _build_huffman(counts, seg[i + 17 : i + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise UnsupportedMediaVariant("non-8-bit JPEG")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaVariant("non-baseline JPEG (progressive/arith)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 15)
+            data_start = pos + ln
+            return _decode_jpeg_scan(
+                b, data_start, frame, qt, huff_dc, huff_ac, scan_tables,
+                restart_interval,
+            )
+        pos += ln
+    raise ValueError("no SOS marker found")
+
+
+def _decode_jpeg_scan(
+    b: bytes,
+    start: int,
+    frame,
+    qt,
+    huff_dc,
+    huff_ac,
+    scan_tables,
+    restart_interval: int,
+) -> np.ndarray:
+    h, w, comps = frame
+    if h == 0 or w == 0 or not comps:
+        raise ValueError("bad JPEG frame")
+    # destuff: 0xFF00 -> 0xFF; RSTn markers recorded as segment breaks
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(b)
+    while i < n:
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError("missing quant table")
+        if cid not in scan_tables:
+            raise ValueError("scan component mismatch")
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64))
+
+    m = _idct_matrix_int()
+    shift = 2 * _IDCT_SCALE_BITS
+    half = 1 << (shift - 1)
+    pred = [0] * len(comps)
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segments[seg_idx])
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_tbl = huff_dc.get(scan_tables[cid][0])
+                ac_tbl = huff_ac.get(scan_tables[cid][1])
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("missing huffman table")
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(br, dc_tbl)
+                        diff = _extend(br.bits(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            coeffs[k] = _extend(br.bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[_ZIGZAG] = coeffs * q
+                        blk = block.reshape(8, 8)
+                        px = (m.T @ blk @ m + half) >> shift
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px + 128
+            mcu_count += 1
+
+    # crop + upsample each plane to full resolution (pixel replication,
+    # integer-exact)
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, hmax // hs, axis=1), vmax // vs, axis=0)
+        out_planes.append(np.clip(p[:h, :w], 0, 255))
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)[:, :, None]
+    if len(out_planes) != 3:
+        raise UnsupportedMediaVariant(f"{len(out_planes)}-component JPEG")
+    # integer YCbCr->RGB (ITU-R 601, x65536 fixed point)
+    y = out_planes[0]
+    cb = out_planes[1] - 128
+    cr = out_planes[2] - 128
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    bl = y + ((116130 * cb + 32768) >> 16)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to ((n_frames, channels) int16, sample_rate) via
     the stdlib wave module."""
@@ -364,12 +658,20 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
                     thumb=[float(x) for x in thumbnail_gray(img, thumb_size).ravel()],
                 )
         elif fmt == "jpeg":
-            try:  # pragma: no cover - PIL absent from this container
-                from PIL import Image  # noqa: F401
-
-                rec.update(format=fmt)  # real PIL decode would fill the rest
-            except ImportError:
+            try:
+                img = decode_jpeg(b)
+            except UnsupportedMediaVariant:
                 rec.update(format="unsupported")
+            else:
+                rec.update(
+                    format="jpeg",
+                    width=img.shape[1],
+                    height=img.shape[0],
+                    channels=img.shape[2],
+                    pixel_mean=round(float(img.mean()), 6),
+                    pixel_std=round(float(img.std()), 6),
+                    thumb=[float(x) for x in thumbnail_gray(img, thumb_size).ravel()],
+                )
         elif fmt == "empty":
             rec.update(format="empty")
         else:

@@ -1,0 +1,200 @@
+"""Minimal baseline-JPEG ENCODER for tests only — an independent
+forward path (float DCT, its own Huffman tables, byte stuffing) so the
+decoder's Huffman/zigzag/dequant/IDCT/upsample chain is exercised
+against the spec formulas, not against itself. Quant tables are all
+ones, so the round-trip error is only color-conversion + DCT rounding
+(a few gray levels)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# simple valid canonical tables: 14 DC categories at length 5,
+# every (run, size<=12) AC symbol at length 9
+DC_COUNTS = [0, 0, 0, 0, 14] + [0] * 11
+DC_SYMBOLS = bytes(range(14))
+AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 13)]
+)
+AC_COUNTS = [0] * 8 + [len(AC_SYMBOLS)] + [0] * 7
+
+
+def _canonical_codes(counts, symbols):
+    codes = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[idx]] = (length, code)
+            idx += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+DC_CODES = _canonical_codes(DC_COUNTS, DC_SYMBOLS)
+AC_CODES = _canonical_codes(AC_COUNTS, AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((value >> i) & 1)
+            self.cnt += 1
+            if self.cnt == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.cnt = 0
+
+    def flush(self) -> bytes:
+        if self.cnt:
+            self.write((1 << (8 - self.cnt)) - 1, 8 - self.cnt)  # pad with 1s
+        return bytes(self.out)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c @ block @ c.T
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
+    coeffs = np.round(_dct2(block.astype(np.float64) - 128.0)).astype(np.int64)
+    zz = coeffs.ravel()[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _size_cat(diff)
+    ln, code = DC_CODES[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = AC_CODES[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        ln, code = AC_CODES[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = AC_CODES[0x00]
+        bw.write(code, ln)
+    return dc
+
+
+def _marker(m: int, payload: bytes = b"") -> bytes:
+    if not payload:
+        return bytes([0xFF, m])
+    return bytes([0xFF, m]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Baseline JPEG bytes for an (h, w, 1|3) uint8 image. Dimensions
+    must be a multiple of the MCU size (8, or 16 with subsample).
+    quant = all ones (near-lossless)."""
+    h, w, nc = img.shape
+    gray = nc == 1
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [img[:, :, 0]]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            cb = ycc[:, :, 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = ycc[:, :, 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes = [
+                ycc[:, :, 0],
+                np.round(cb).astype(np.uint8),
+                np.round(cr).astype(np.uint8),
+            ]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    assert h % (8 * vmax) == 0 and w % (8 * hmax) == 0
+
+    out = _marker(0xD8)
+    out += _marker(0xDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += _marker(0xC0, sof)
+    out += _marker(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS)
+    out += _marker(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMBOLS)
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for cid, _, _, _ in comps:
+        sos += bytes([cid, 0x00])  # dc table 0, ac table 0
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+
+    mcux = w // (8 * hmax)
+    mcuy = h // (8 * vmax)
+    pred = [0] * len(comps)
+    bw = _BitWriter()
+    data = b""
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                data += bw.flush()
+                data += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)])
+                bw = _BitWriter()
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(bw, block, pred[ci])
+            mcu_count += 1
+    data += bw.flush()
+    return out + data + _marker(0xD9)

@@ -281,3 +281,44 @@ def test_all_hash_families_in_spark(spark):
         release_tracked()
         assert out[1]["img_hash"] == out[2]["img_hash"], family
         assert out[1]["is_duplicate"] and out[1]["is_canonical"], family
+
+
+def test_jpeg_reencode_near_duplicate(spark):
+    """A JPEG re-encode of a netpbm image (lossy by a few gray levels)
+    lands within a small phash Hamming radius — caught by
+    image_near_duplicate_pairs, the tolerance mechanism for lossy
+    re-encodes (hash EQUALITY catches only pixel-identical copies)."""
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.operators.imageqc import (
+        image_duplicate_scores,
+        image_near_duplicate_pairs,
+    )
+    from tests.jpeg_encoder import encode_jpeg
+
+    rng = np.random.default_rng(81)
+    img = np.clip(
+        np.arange(32)[:, None, None] * 5
+        + np.arange(32)[None, :, None] * 2
+        + np.array([10, 60, 110])[None, None, :],
+        0,
+        255,
+    ).astype(np.uint8)
+    rows = [
+        (1, "image", _ppm(img), {}),
+        (2, "image", encode_jpeg(img), {}),  # lossy re-encode
+        (3, "image", _ppm(rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)), {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ph = {r["media_id"]: r for r in image_duplicate_scores(df, "phash").collect()}
+    release_tracked()
+    assert ph[1]["format"] == "netpbm" and ph[2]["format"] == "jpeg"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicate_pairs(df, "phash", max_hamming=3).collect()
+    }
+    release_tracked()
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+    md = {r["media_id"]: r for r in image_duplicate_scores(df, "md5").collect()}
+    release_tracked()
+    assert md[1]["img_hash"] != md[2]["img_hash"]  # bytes differ

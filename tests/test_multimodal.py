@@ -1,11 +1,13 @@
 """Multimodal tests: mapInPandas feature extraction over binary payloads,
 plus real decode of the dependency-free formats (netpbm images via numpy,
-PNG via stdlib zlib + numpy, PCM WAV via stdlib wave); JPEG remains gated
-behind PIL (absent here) and degrades to format='unsupported' rows.
+PNG via stdlib zlib + numpy, baseline JPEG via a hand-rolled Huffman +
+integer-IDCT pipeline, PCM WAV via stdlib wave).
 
 The PNG tests encode images with an independent hand-rolled encoder that
 applies each of the five scanline filters FORWARD (spec formulas), so the
-decoder's reconstruction path is checked filter by filter."""
+decoder's reconstruction path is checked filter by filter; the JPEG tests
+do the same with an independent forward encoder (tests/jpeg_encoder.py:
+own Huffman tables, float forward DCT, all-ones quant)."""
 
 from __future__ import annotations
 
@@ -258,3 +260,78 @@ def test_frame_sample(media):
     assert len(frames) == 3  # 3500ms / 1000ms -> frames 0,1,2
     assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
     assert len({r["frame_hash"] for r in frames}) == 3
+
+
+def test_decode_jpeg_roundtrips():
+    """Baseline JPEG decode vs an independent test encoder (own Huffman
+    tables, forward float DCT, all-ones quant): round-trip within a few
+    gray levels — the only loss left is color-conversion/DCT rounding."""
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg
+
+    rng = np.random.default_rng(71)
+    gray = rng.integers(0, 256, size=(16, 24, 1), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(gray))
+    assert got.shape == (16, 24, 1)
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 2
+    color = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(color))
+    assert got.shape == (16, 16, 3)
+    assert np.abs(got.astype(int) - color.astype(int)).max() <= 6
+    # 4:2:0 chroma subsampling on a smooth gradient (subsampling itself
+    # is lossless there) + restart markers resetting the DC predictors
+    smooth = np.clip(
+        np.arange(32)[:, None, None] * 4
+        + np.arange(32)[None, :, None] * 3
+        + np.array([0, 40, 80])[None, None, :],
+        0,
+        255,
+    ).astype(np.uint8)
+    for kwargs in ({"subsample": True}, {"restart_interval": 2},
+                   {"subsample": True, "restart_interval": 1}):
+        got = decode_jpeg(encode_jpeg(smooth, **kwargs))
+        assert got.shape == smooth.shape, kwargs
+        assert np.abs(got.astype(int) - smooth.astype(int)).max() <= 6, kwargs
+
+
+def test_decode_jpeg_rejects():
+    from cleanvision_spark.operators.multimodal import (
+        UnsupportedMediaVariant,
+        decode_jpeg,
+    )
+    from tests.jpeg_encoder import encode_jpeg
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    good = encode_jpeg(img)
+    # progressive marker (SOF2) instead of SOF0 -> unsupported variant
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated before scan
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xee garbage")
+
+
+def test_decode_media_jpeg_distributed(spark):
+    from tests.jpeg_encoder import encode_jpeg
+
+    rng = np.random.default_rng(74)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(img)
+    rows = [
+        (1, "image", good, {}),
+        (2, "image", good.replace(b"\xff\xc0", b"\xff\xc2", 1), {}),  # progressive
+        (3, "image", good[:30], {}),  # truncated: corrupt
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    r1 = out[1]
+    assert (r1["format"], r1["width"], r1["height"], r1["channels"]) == ("jpeg", 16, 16, 3)
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+
+    dec = decode_jpeg(good)
+    assert abs(r1["pixel_mean"] - round(float(dec.mean()), 6)) < 1e-9
+    assert out[2]["format"] == "unsupported"
+    assert out[3]["format"] == "corrupt"
