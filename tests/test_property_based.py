@@ -76,3 +76,43 @@ def test_minhash_estimates_jaccard(tokens):
 @settings(max_examples=30, deadline=None)
 def test_fingerprint_whitespace_invariant(s):
     assert fingerprint64(s) == fingerprint64("  " + s + "\t")
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, nch, filters, seed):
+    """decode(encode(img)) == img for arbitrary sizes, channel counts
+    and filter sequences — the PNG unfilter path against the spec's
+    forward formulas."""
+    import numpy as np
+
+    from cleanvision_spark.operators.multimodal import decode_png
+    from tests.test_multimodal import _png_bytes
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    assert (decode_png(_png_bytes(img, filters=filters)) == img).all()
+
+
+@given(st.integers(1, 3), st.integers(1, 3), st.booleans(), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(mh, mw, gray, seed):
+    """Baseline JPEG decode stays within a few levels of the input for
+    arbitrary MCU-aligned sizes and content."""
+    import numpy as np
+
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg
+
+    nch = 1 if gray else 3
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(8 * mh, 8 * mw, nch), dtype=np.uint8
+    )
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
