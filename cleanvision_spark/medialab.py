@@ -88,7 +88,11 @@ class MediaLab:
         pixel = [w for w in which if w in PIXEL_ISSUES]
         out: DataFrame | None = None
         if pixel:
-            scored = image_issue_scores(image_properties(self.df), params)
+            # issues=pixel: an unrequested odd_size would otherwise drag
+            # its global stats aggregation into every narrow call
+            scored = image_issue_scores(
+                image_properties(self.df), params, issues=pixel
+            )
             keep = ["media_id", "format", "width", "height", "channels"] + [
                 c
                 for i in pixel

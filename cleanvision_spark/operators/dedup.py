@@ -266,46 +266,63 @@ def jaccard_pairs_blocked(
     from cleanvision_spark.functions.text_stats import WS_RUN_RE
 
     words = F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RUN_RE))
+
+    def _jac(l_words: F.Column, r_words: F.Column) -> F.Column:
+        inter = F.size(F.array_intersect(l_words, r_words))
+        union = F.size(F.array_union(l_words, r_words))
+        return F.round(inter.cast("double") / union.cast("double"), 6)
+
     if block_cols is None:
         from cleanvision_spark.cache import tracked_persist
         from cleanvision_spark.functions.hashing import minhash_bands_udf
 
-        # persisted: self-joined as l/r — without it the signature UDF
-        # evaluates on both sides
+        # persisted once with the UNexploded band array: the candidate
+        # join shuffles only (id, 8-byte band) — carrying the word
+        # arrays through the exploded self-join would replicate every
+        # document's token set BANDS(16)x on both shuffle sides
         base = tracked_persist(
             df.select(
                 F.col(id_col).alias("id"),
                 words.alias("words"),
-                F.explode(minhash_bands_udf(F.col(text_col))).alias("_blk"),
+                minhash_bands_udf(F.col(text_col)).alias("_bands"),
             )
         )
-        cond = [F.col("l._blk") == F.col("r._blk"), F.col("l.id") < F.col("r.id")]
-        dedup_pairs = True  # a pair can share several bands
-    else:
-        base = df.select(
-            F.col(id_col).alias("id"),
-            *[F.col(c) for c in block_cols],
-            words.alias("words"),
-            (F.size(F.split(F.trim(F.col(text_col)), WS_RUN_RE)) / token_bucket_width)
-            .cast("long")
-            .alias("_tb"),
+        ex = base.select("id", F.explode("_bands").alias("_blk"))
+        cand = (
+            ex.alias("l")
+            .join(
+                ex.alias("r"),
+                [F.col("l._blk") == F.col("r._blk"), F.col("l.id") < F.col("r.id")],
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()  # a pair can share several bands
         )
-        cond = [F.col("l._tb") == F.col("r._tb"), F.col("l.id") < F.col("r.id")] + [
-            F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols
-        ]
-        dedup_pairs = False
-    left = base.alias("l")
-    right = base.alias("r")
-    inter = F.size(F.array_intersect(F.col("l.words"), F.col("r.words")))
-    union = F.size(F.array_union(F.col("l.words"), F.col("r.words")))
-    jac = inter.cast("double") / union.cast("double")
-    out = (
-        left.join(right, cond)
+        wa = base.select(F.col("id").alias("id_a"), F.col("words").alias("_wa"))
+        wb = base.select(F.col("id").alias("id_b"), F.col("words").alias("_wb"))
+        return (
+            cand.join(wa, "id_a")
+            .join(wb, "id_b")
+            .select("id_a", "id_b", _jac(F.col("_wa"), F.col("_wb")).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        words.alias("words"),
+        (F.size(F.split(F.trim(F.col(text_col)), WS_RUN_RE)) / token_bucket_width)
+        .cast("long")
+        .alias("_tb"),
+    )
+    cond = [F.col("l._tb") == F.col("r._tb"), F.col("l.id") < F.col("r.id")] + [
+        F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols
+    ]
+    return (
+        base.alias("l")
+        .join(base.alias("r"), cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            _jac(F.col("l.words"), F.col("r.words")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.distinct() if dedup_pairs else out

@@ -287,17 +287,23 @@ def image_issue_scores(
     props: DataFrame,
     params: dict | None = None,
     odd_size_stats: tuple[float, float] | None = None,
+    issues: list[str] | None = None,
 ) -> DataFrame:
     """Score + flag columns from the raw image properties — pure Catalyst
     expressions plus one broadcast 1-row IQR join for odd_size. Rows that
-    did not decode (format not netpbm/png) keep null scores/flags.
+    did not decode (format not netpbm/png/jpeg) keep null scores/flags.
 
     ``odd_size_stats=(mid_thr, thr_gap)`` injects pinned global stats
     instead of aggregating them — required on a streaming DataFrame
     (no agg/persist in a stateless streaming plan; scores must derive
-    from a fixed scope anyway), optional in batch."""
+    from a fixed scope anyway), optional in batch. ``issues`` selects a
+    subset — in particular, leaving odd_size out skips its stats
+    aggregation job entirely (Catalyst cannot prune a crossJoin that a
+    later select drops)."""
     p = {k: {**v, **(params or {}).get(k, {})} for k, v in IMAGE_ISSUE_DEFAULTS.items()}
-    if odd_size_stats is None:
+    which = list(IMAGE_ISSUE_DEFAULTS) if issues is None else issues
+    want_odd_size = "odd_size" in which
+    if odd_size_stats is None and want_odd_size:
         from cleanvision_spark.cache import tracked_persist
 
         # persisted: props feeds both the odd_size stats agg and the row
@@ -310,6 +316,8 @@ def image_issue_scores(
 
     def put(issue: str, score: Column, flag: Column) -> None:
         nonlocal out
+        if issue not in which:
+            return
         out = out.withColumn(
             score_col(issue), F.when(decoded, F.round(score, 6))
         ).withColumn(flag_col(issue), F.when(decoded, flag))
@@ -337,6 +345,8 @@ def image_issue_scores(
     # grayscale (:293-341): score 0 for 'L', flag = score == 0
     gs = F.when(F.col("color_space") == "L", F.lit(0.0)).otherwise(F.lit(1.0))
     put("grayscale", gs, gs == F.lit(0.0))
+    if not want_odd_size:
+        return out
     # odd_size (:344-405): global IQR over decoded rows only, broadcast
     # back — or the injected pinned stats (streaming / resumed scoring)
     f = float(p["odd_size"]["iqr_factor"])
@@ -587,14 +597,18 @@ def image_hashes(df: DataFrame, hash_type: str = "phash") -> DataFrame:
     import hashlib
 
     if hash_type == "md5":
+        from cleanvision_spark.operators.multimodal import _sniff
 
+        # md5 hashes RAW BYTES: no decode needed — the format column is a
+        # magic-byte sniff tag only (a full decode here would triple the
+        # most expensive CPU work in a MediaLab run for no extra signal)
         def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 yield pd.DataFrame(
                     [
                         {
                             "media_id": m,
-                            "format": _decode_image(p)[0],
+                            "format": _sniff(p),
                             "img_hash": hashlib.md5(p or b"").hexdigest(),
                         }
                         for m, p in zip(pdf["media_id"], pdf["payload"])

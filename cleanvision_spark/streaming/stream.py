@@ -142,6 +142,14 @@ def compact_index(
     by_run: dict[str, list[tuple[int, str]]] = {}
     for d in parts:
         run, _, epoch = d.split("=", 1)[1].rpartition("-")
+        if not run or not epoch.isdigit():
+            # a foreign/hand-made partition dir would otherwise crash the
+            # int() below with no hint which directory is at fault; leave
+            # it in place (never consumed) and keep compacting the rest
+            import warnings
+
+            warnings.warn(f"compact_index: skipping foreign partition {d!r}")
+            continue
         by_run.setdefault(run, []).append((int(epoch), d))
     consume: list[str] = []
     for lst in by_run.values():
@@ -386,6 +394,14 @@ def stream_media_issues(
         image_properties,
     )
 
+    if odd_size_stats is None and stream_df.isStreaming:
+        # fail HERE with the fix spelled out — otherwise the error is an
+        # opaque streaming-aggregation AnalysisException at start()
+        raise ValueError(
+            "stream_media_issues on a streaming DataFrame requires "
+            "odd_size_stats=(mid_thr, thr_gap) — compute it from a batch "
+            "run via imageqc.image_odd_size_stats"
+        )
     out = image_issue_scores(
         image_properties(stream_df), params, odd_size_stats=odd_size_stats
     )

@@ -29,7 +29,9 @@ def metrics(df) -> dict[str, object]:
     p = plan_str(df)
     out: dict[str, object] = {
         "parquet scans": len(re.findall(r"Scan parquet|FileScan parquet", p)),
-        "Arrow UDF stages": p.count("ArrowEvalPython"),
+        # MapInPandas counts too — otherwise the decode pipelines would
+        # escape the double-UDF-evaluation guard entirely
+        "Arrow UDF stages": p.count("ArrowEvalPython") + p.count("MapInPandas"),
         "row-python UDFs": p.count("BatchEvalPython"),
         "broadcast joins": p.count("BroadcastHashJoin")
         + p.count("BroadcastNestedLoopJoin"),
@@ -136,9 +138,9 @@ def main() -> None:
 
     sections.append((
         "Pixel-domain image issues (decode + score)",
-        "ONE mapInPandas decode/properties pass (a single Arrow stage), "
-        "persisted because both the odd_size stats agg and the row branch "
-        "consume it (cached reuse >= Arrow stages); scores/flags are pure "
+        "ONE mapInPandas decode/properties pass, persisted because both the "
+        "odd_size stats agg and the row branch consume it (every Arrow stage "
+        "in the tree sits under an InMemoryTableScan); scores/flags are pure "
         "Catalyst; the global IQR joins back as a broadcast of one row.",
         metrics(e.queries()["image_issues"](spark, SF)),
     ))
@@ -146,10 +148,12 @@ def main() -> None:
 
     sections.append((
         "Jaccard refinement, LSH-default blocking",
-        "block_cols=None blocks by MinHash band buckets: the self-join is an "
-        "equi-join on an 8-byte band key, the signature UDF evaluates once "
-        "(persisted projection feeds both sides), and no token-length "
-        "mega-block can form.",
+        "block_cols=None blocks by MinHash band buckets: candidates "
+        "equi-join on an 8-byte band key with ONLY (id, band) exploded — "
+        "word arrays stay in the once-persisted base (all four consumers "
+        "read the cache; the signature UDF evaluates once) and join back "
+        "by id after the distinct pair set, so no token array rides the "
+        "band shuffle.",
         metrics(jaccard_pairs_blocked(docs, "doc_id")),
     ))
     release_tracked()

@@ -138,19 +138,19 @@ def test_jaccard_lsh_default_blocking(docs, spark):
     from cleanvision_spark.cache import release_tracked
     from cleanvision_spark.operators.dedup import jaccard_pairs_blocked
 
-    lsh = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in jaccard_pairs_blocked(docs, "doc_id", threshold=0.5).collect()
-    }
+    rows = jaccard_pairs_blocked(docs, "doc_id", threshold=0.5).collect()
     release_tracked()
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # no duplicate pairs despite multi-band collisions: the ROW count
+    # must equal the distinct-pair count (a dict comprehension alone
+    # would silently collapse duplicates)
+    assert len(rows) == len(lsh)
     # planted _near variants (doc_id + 2000000) differ by one appended
     # token: jaccard ~ n/(n+1) -> well above 0.5, and LSH at 16x8 bands
     # catches ~all of them
     near_pairs = [(i, i + 2000000) for i in range(8)]
     found = [p for p in near_pairs if p in lsh]
     assert len(found) >= 7, f"LSH blocking missed near pairs: {found}"
-    # no duplicate pairs despite multi-band collisions
-    assert len(lsh) == len(set(lsh))
     # values agree with an explicit single-block run restricted to the
     # planted rows (ground truth within one block)
     planted = docs.filter(

@@ -335,3 +335,16 @@ def test_decode_media_jpeg_distributed(spark):
     assert abs(r1["pixel_mean"] - round(float(dec.mean()), 6)) < 1e-9
     assert out[2]["format"] == "unsupported"
     assert out[3]["format"] == "corrupt"
+
+
+def test_decode_jpeg_fill_bytes():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — the
+    marker walk must skip them, not read a garbage segment length."""
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg
+
+    img = np.random.default_rng(75).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(img)
+    i = good.find(b"\xff\xda")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert (decode_jpeg(padded) == decode_jpeg(good)).all()
