@@ -39,20 +39,28 @@ DUP_ISSUES = {"exact_duplicates": "md5", "near_duplicates": "phash"}
 DEFAULT_ISSUES = PIXEL_ISSUES + list(DUP_ISSUES)
 
 
-def _dup_columns(df: DataFrame, issue: str, hash_type: str) -> DataFrame:
+def _dup_columns(hashed: DataFrame, issue: str, hash_col: str) -> DataFrame:
     """exact/near duplicate score+flag columns from hash-equality groups
-    (duplicate_issue_manager semantics: 1/k score, flag = in a group of
-    >= 2, canonical kept). Returns (media_id, <issue>_score,
-    is_<issue>_issue, _is_canonical_<issue>, <issue>_hash)."""
-    from cleanvision_spark.operators.imageqc import image_duplicate_scores
-
-    out = image_duplicate_scores(df, hash_type)
-    return out.select(
+    over an EXISTING hash column (duplicate_issue_manager semantics:
+    1/k score, flag = in a group of >= 2, canonical kept). Returns
+    (media_id, <issue>_score, is_<issue>_issue, _is_canonical_<issue>,
+    <issue>_hash) — the hash itself comes from the fused
+    image_properties pass, so the payloads are never re-decoded."""
+    groups = (
+        hashed.filter(F.col(hash_col).isNotNull())
+        .groupBy(hash_col)
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("media_id").alias("_canon"))
+    )
+    return hashed.join(groups, hash_col, "left").select(
         "media_id",
-        F.col("dup_score").alias(score_col(issue)),
-        F.col("is_duplicate").alias(flag_col(issue)),
-        F.col("is_canonical").alias(f"_is_canonical_{issue}"),
-        F.col("img_hash").alias(f"{issue}_hash"),
+        F.round(F.lit(1.0) / F.coalesce("dup_count", F.lit(1)), 6).alias(
+            score_col(issue)
+        ),
+        (F.coalesce("dup_count", F.lit(1)) > 1).alias(flag_col(issue)),
+        (F.col("_canon").isNull() | (F.col("media_id") == F.col("_canon"))).alias(
+            f"_is_canonical_{issue}"
+        ),
+        F.col(hash_col).alias(f"{issue}_hash"),
     )
 
 
@@ -86,24 +94,34 @@ class MediaLab:
             for k, v in IMAGE_ISSUE_DEFAULTS.items()
         }
         pixel = [w for w in which if w in PIXEL_ISSUES]
+        dup_families = {
+            issue: (issue_types or {}).get(issue, {}).get("hash_type", default)
+            for issue, default in DUP_ISSUES.items()
+            if issue in which
+        }
+        # ONE decode pass for everything requested: properties + every
+        # duplicate-family hash come out of the same mapInPandas stage
+        # (decode dominates; a per-family pass would decode the corpus
+        # once per family). Persisted: the dup groupBys and the row
+        # branch all consume it.
+        from cleanvision_spark.cache import tracked_persist
+
+        props = tracked_persist(
+            image_properties(self.df, hash_types=sorted(set(dup_families.values())))
+        )
         out: DataFrame | None = None
         if pixel:
             # issues=pixel: an unrequested odd_size would otherwise drag
             # its global stats aggregation into every narrow call
-            scored = image_issue_scores(
-                image_properties(self.df), params, issues=pixel
-            )
+            scored = image_issue_scores(props, params, issues=pixel)
             keep = ["media_id", "format", "width", "height", "channels"] + [
                 c
                 for i in pixel
                 for c in (score_col(i), flag_col(i))
             ]
             out = scored.select(*keep)
-        for issue, hash_type in DUP_ISSUES.items():
-            if issue not in which:
-                continue
-            hash_type = (issue_types or {}).get(issue, {}).get("hash_type", hash_type)
-            cols = _dup_columns(self.df, issue, hash_type)
+        for issue, hash_type in dup_families.items():
+            cols = _dup_columns(props, issue, f"hash_{hash_type}")
             out = cols if out is None else out.join(cols, "media_id", "left")
         # accretion (imagelab.py:305-313): recomputed issue columns
         # overwrite, previously-computed ones join back by key

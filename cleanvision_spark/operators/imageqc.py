@@ -187,9 +187,15 @@ def _histogram_entropy(img: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-def _props_one(media_id: int, payload: bytes | None) -> dict:
+def _props_one(
+    media_id: int,
+    payload: bytes | None,
+    decoded: tuple[str, np.ndarray | None] | None = None,
+) -> dict:
+    """Raw properties for one payload; pass ``decoded=(fmt, img)`` when
+    the caller already decoded (decode is the dominant cost)."""
     rec: dict = {"media_id": media_id, **_NULL_PROPS}
-    fmt, raw = _decode_image(payload)
+    fmt, raw = decoded if decoded is not None else _decode_image(payload)
     rec["format"] = fmt
     if raw is None:
         return rec
@@ -220,20 +226,45 @@ def _props_one(media_id: int, payload: bytes | None) -> dict:
     return rec
 
 
-def image_properties(df: DataFrame) -> DataFrame:
+def image_properties(df: DataFrame, hash_types: list[str] | None = None) -> DataFrame:
     """ONE distributed pass over (media_id, payload) emitting the raw
-    per-image properties; everything downstream is Catalyst."""
-    cols = [f.name for f in IMAGE_PROPS_FIELDS]
+    per-image properties; everything downstream is Catalyst.
+
+    ``hash_types`` fuses duplicate-hash computation into the SAME pass
+    (columns ``hash_<family>``, hex strings; null when undecodable) —
+    decode is the expensive step, so a caller that needs both scores
+    and dup hashes (MediaLab) must not decode the corpus twice."""
+    import hashlib
+
+    hash_types = hash_types or []
+    for t in hash_types:
+        if t != "md5" and t not in IMAGE_HASHERS:
+            raise ValueError(f"hash_type {t!r} not supported")
+    cols = [f.name for f in IMAGE_PROPS_FIELDS] + [f"hash_{t}" for t in hash_types]
+    schema = T.StructType(
+        IMAGE_PROPS_FIELDS
+        + [T.StructField(f"hash_{t}", T.StringType(), True) for t in hash_types]
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = [
-                _props_one(mid, payload)
-                for mid, payload in zip(pdf["media_id"], pdf["payload"])
-            ]
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, img = _decode_image(payload)  # decode ONCE per row
+                rec = _props_one(mid, payload, decoded=(fmt, img))
+                for t in hash_types:
+                    if t == "md5":
+                        rec[f"hash_{t}"] = hashlib.md5(payload or b"").hexdigest()
+                    elif img is not None:
+                        rec[f"hash_{t}"] = format(
+                            IMAGE_HASHERS[t](img) & ((1 << 64) - 1), "016x"
+                        )
+                    else:
+                        rec[f"hash_{t}"] = None
+                recs.append(rec)
             yield pd.DataFrame(recs, columns=cols)
 
-    return df.mapInPandas(op, IMAGE_PROPS_SCHEMA)
+    return df.mapInPandas(op, schema)
 
 
 def _clip01(c: Column) -> Column:
