@@ -614,6 +614,27 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs, "doc_id")
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.operators.textqc import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs, "doc_id")
+
+
+def _q_decontaminate_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination vs a deterministic in-corpus 'benchmark' slice
+    (doc_id % 97 == 3); n=3 because the synthetic small-vocab corpus has
+    non-trivial 3-gram overlap at sf0.01 — production uses the published
+    13-gram default."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.decontaminate import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    return decontaminate(docs, bench, "doc_id", n=3)
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.textqc import doc_fingerprints
 
@@ -1083,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "repetition_signals": _q_repetition_signals,
+        "decontaminate_3gram": _q_decontaminate_3gram,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1417,6 +1440,60 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1.0 ELSE 0.2 END
                           + stop_ratio + alpha_ratio) / 4.0, 6) AS quality_score
             FROM s
+        """,
+        "repetition_signals": f"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '{WS_SQL}') END AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT t.doc_id, n, array_to_string(words[i:i+n-1], ' ') AS gram
+              FROM t, UNNEST([2,3,4]) AS ns(n),
+                   UNNEST(range(1, greatest(len(words)-n+1, 0)+1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY ALL),
+            agg AS (
+              SELECT doc_id, n, max(c * length(gram)) AS mass,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+                     sum(c) AS total_occ
+              FROM cnt GROUP BY doc_id, n)
+            SELECT t.doc_id,
+               round(len(list_distinct(words))::DOUBLE
+                     / greatest(len(words),1)::DOUBLE, 6) AS distinct_word_ratio,
+               round(coalesce(max(CASE WHEN n=2 THEN mass END)::DOUBLE
+                     / nullif(t.n_chars,0), 0), 6) AS top_2gram_char_frac,
+               round(coalesce(max(CASE WHEN n=3 THEN mass END)::DOUBLE
+                     / nullif(t.n_chars,0), 0), 6) AS top_3gram_char_frac,
+               round(coalesce(max(CASE WHEN n=4 THEN mass END)::DOUBLE
+                     / nullif(t.n_chars,0), 0), 6) AS top_4gram_char_frac,
+               round(coalesce(max(CASE WHEN n=2 THEN dup_occ END)::DOUBLE
+                     / greatest(max(CASE WHEN n=2 THEN total_occ END), 1)::DOUBLE,
+                     0), 6) AS dup_2gram_frac
+            FROM t LEFT JOIN agg USING (doc_id)
+            GROUP BY t.doc_id, words, t.n_chars
+        """,
+        "decontaminate_3gram": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '{WS_SQL}') END AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+              FROM t, UNNEST(range(1, greatest(len(words)-2, 0)+1)) AS u(i)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3),
+            hits AS (
+              SELECT g.doc_id, count(*) AS n_contaminated
+              FROM g JOIN bench USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+                   coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "dedup_embedding_pairs": """
             WITH b AS (SELECT vec_id AS id, embedding AS vec, label AS blk FROM embeddings)

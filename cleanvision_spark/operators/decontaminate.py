@@ -1,0 +1,83 @@
+"""Benchmark decontamination — flag training documents that share a
+word n-gram with an evaluation/benchmark corpus.
+
+The published recipe (GPT-3 appendix C; Lee et al. 2022 "Deduplicating
+Training Data...") removes training documents containing any 13-gram
+that also appears in a benchmark set. No reference analog (the
+reference is an image-QA library); this is one of the training-data
+pipeline operators the engine adds beyond it.
+
+Scale shape (the part that matters at 100 TB):
+- the CORPUS side never shuffles: per-row n-gram generation is a narrow
+  ``transform`` over the word array, the gram explode is map-side, and
+  the benchmark join is a BROADCAST hash join (benchmark gram sets are
+  tiny next to a training corpus — 1e5-1e7 grams);
+- the inner join drops ~everything, so the per-doc hit count groupBy
+  shuffles only hit rows (rare);
+- the join back onto the full corpus keys on the doc id with the tiny
+  aggregated side broadcast by AQE.
+For a benchmark too large to broadcast, pre-hash grams with xxhash64
+and bucket both sides (sources/layout.write_bucketed) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.textqc import _words_array, word_ngrams
+
+
+def benchmark_grams(
+    bench: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """distinct word n-grams of the benchmark corpus, one per row
+    (column ``gram``) — the broadcast side of the contamination join."""
+    return (
+        bench.select(
+            F.explode(word_ngrams(_words_array(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 13,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination against a benchmark corpus: count of
+    DISTINCT word n-grams shared with the benchmark, plus the keep/drop
+    flag. Returns every input document (zero-hit docs included) as
+    (id, n_contaminated, is_contaminated).
+
+    A training pipeline drops ``is_contaminated`` rows (or the
+    offending spans); emitting the full table keeps the operator
+    composable with the issue/summary machinery.
+    """
+    bgrams = benchmark_grams(bench, bench_text_col, n)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(_words_array(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bgrams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

@@ -97,3 +97,123 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     return df.select(
         F.col(id_col), fingerprint64_udf(F.col(text_col)).alias("fingerprint")
     )
+
+
+def _words_array(text_col: str):
+    """trimmed whitespace-split word array; empty text -> empty array
+    (split('') would yield [''])"""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    trimmed = F.trim(F.col(text_col))
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, WS_RUN_RE))
+
+
+def word_ngrams(words, n: int):
+    """space-joined word n-grams as an array column; fewer than n words
+    -> empty array (the when-guard matters: sequence(1,0) is DESCENDING
+    in Spark, not empty)."""
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.when(cnt == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def _top_gram_char_mass(grams):
+    """max over distinct grams of count(gram) * length(gram), computed as
+    a single run-length scan over the SORTED gram array (F.aggregate,
+    whole-stage codegen — no explode, no shuffle). Equal grams are
+    adjacent after array_sort; the running mass run*len peaks at the full
+    run, so the max over the scan equals the max over distinct grams."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x).cast("long")).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["best"])
+
+
+def _dup_gram_occurrences(grams):
+    """number of gram occurrences whose gram appears >= 2 times, via the
+    same sorted run-length scan (when a run reaches 2 both members count,
+    each further member adds 1)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        add = (
+            F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup")
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["dup"])
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_n: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style within-document repetition signals
+    (Rae et al. 2021, Table A1 'repetition' filters), adapted to
+    single-line documents (word n-grams, no line rules):
+
+    - ``distinct_word_ratio``: |distinct words| / |words|
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: characters covered
+      by the heaviest n-gram — max over grams of count*len(gram), over
+      total characters (Gopher's 'fraction of characters in the most
+      frequent n-gram', char-mass tie-break)
+    - ``dup_{dup_n}gram_frac``: fraction of n-gram occurrences whose
+      gram occurs more than once (the occurrence-fraction variant of
+      Gopher's duplicate-n-gram filters)
+
+    Pure Catalyst: per-row array ops + F.aggregate run-length scans over
+    sorted gram arrays — zero shuffle, zero Python, scan speed; survives
+    any scale because cost is O(words log words) per row."""
+    words = _words_array(text_col)
+    n_chars = F.length(F.col(text_col))
+    cols = [
+        F.col(id_col),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(F.size(words), F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_word_ratio"),
+    ]
+    for n in top_ns:
+        frac = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            _top_gram_char_mass(word_ngrams(words, n)).cast("double")
+            / n_chars.cast("double")
+        )
+        cols.append(F.round(frac, 6).alias(f"top_{n}gram_char_frac"))
+    dup_grams = word_ngrams(words, dup_n)
+    dup_frac = _dup_gram_occurrences(dup_grams).cast("double") / F.greatest(
+        F.size(dup_grams), F.lit(1)
+    ).cast("double")
+    cols.append(F.round(dup_frac, 6).alias(f"dup_{dup_n}gram_frac"))
+    return df.select(*cols)

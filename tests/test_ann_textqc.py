@@ -258,3 +258,67 @@ def test_minhash_params_honored(spark):
     from cleanvision_spark.cache import release_tracked
 
     release_tracked()
+
+
+def test_repetition_signals_hand_computed(spark):
+    from cleanvision_spark.operators.textqc import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b c": words=5, distinct=3; 2-grams: [a b, b a, a b, b c]
+            #   top2 mass = 2*len("a b")=6; chars=9 -> 6/9
+            #   dup2: "a b" twice -> 2 of 4 occurrences
+            (1, "a b a b c"),
+            # all-unique words: no repetition, top mass = single gram len
+            (2, "x y z"),
+            # empty text: everything 0, ratios guarded
+            (3, "   "),
+            # single word: no 2-grams at all
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df, "doc_id").collect()}
+    r1 = rows[1]
+    assert r1["distinct_word_ratio"] == round(3 / 5, 6)
+    assert r1["top_2gram_char_frac"] == round(6 / 9, 6)
+    # 3-grams of doc1: [a b a, b a b, a b c] all distinct, len 5 -> 5/9
+    assert r1["top_3gram_char_frac"] == round(5 / 9, 6)
+    assert r1["dup_2gram_frac"] == 0.5
+    r2 = rows[2]
+    assert r2["distinct_word_ratio"] == 1.0
+    assert r2["top_2gram_char_frac"] == round(3 / 5, 6)
+    assert r2["dup_2gram_frac"] == 0.0
+    r3 = rows[3]
+    assert r3["distinct_word_ratio"] == 0.0
+    assert r3["top_2gram_char_frac"] == 0.0
+    assert r3["dup_2gram_frac"] == 0.0
+    r4 = rows[4]
+    assert r4["distinct_word_ratio"] == 1.0
+    assert r4["top_2gram_char_frac"] == 0.0
+    assert r4["dup_2gram_frac"] == 0.0
+
+
+def test_decontaminate_hand_computed(spark):
+    from cleanvision_spark.operators.decontaminate import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox"
+            (2, "quick brown fox"),             # exactly one bench 3-gram
+            (3, "totally clean document here"),
+            (4, "the quick brown fox the quick brown fox"),  # distinct grams counted once
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox runs fast")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, "doc_id", n=3).collect()}
+    assert out[1]["n_contaminated"] == 1 and out[1]["is_contaminated"]
+    assert out[2]["n_contaminated"] == 1 and out[2]["is_contaminated"]
+    assert out[3]["n_contaminated"] == 0 and not out[3]["is_contaminated"]
+    # doc 4 contains "quick brown fox" twice and "brown fox runs"? no --
+    # its distinct shared grams with bench: {"quick brown fox"} -> 1
+    assert out[4]["n_contaminated"] == 1 and out[4]["is_contaminated"]
+    assert len(out) == 4
