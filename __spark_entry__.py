@@ -635,6 +635,31 @@ def _q_decontaminate_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, "doc_id", n=3)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.25, "zh": 1.0},
+        salt="s3",
+        default=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s3"
+    )
+    return out.select("doc_id", "split")
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.textqc import doc_fingerprints
 
@@ -1106,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "repetition_signals": _q_repetition_signals,
         "decontaminate_3gram": _q_decontaminate_3gram,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1173,6 +1200,38 @@ def _scrub_oracle() -> str:
         SELECT repo, path, commit,
                sha256({duckdb_scrub_expr('content')}) AS sha256_scrubbed
         FROM corpus
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    """mirrors _q_stratified_sample; thresholds come from the SAME
+    hex_threshold helper the Spark operator uses, so the cutoff
+    constants cannot drift between the two sides."""
+    from cleanvision_spark.operators.sampling import duckdb_hash_prefix, hex_threshold
+
+    prefix = duckdb_hash_prefix("doc_id", salt="s3")
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {prefix} < CASE lang
+            WHEN 'en' THEN '{hex_threshold(0.5)}'
+            WHEN 'de' THEN '{hex_threshold(0.25)}'
+            WHEN 'zh' THEN '{hex_threshold(1.0)}'
+            ELSE '{hex_threshold(0.1)}' END
+    """
+
+
+def _split_assign_oracle() -> str:
+    from cleanvision_spark.operators.sampling import duckdb_hash_prefix, split_cutoffs
+
+    prefix = duckdb_hash_prefix("doc_id", salt="s3")
+    cutoffs = split_cutoffs({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens = "".join(
+        f"WHEN {prefix} < '{cut}' THEN '{name}' " for name, cut in cutoffs[:-1]
+    )
+    return f"""
+        SELECT doc_id,
+               CASE {whens}ELSE '{cutoffs[-1][0]}' END AS split
+        FROM documents
     """
 
 
@@ -1495,6 +1554,8 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
+        "stratified_sample": _stratified_sample_oracle(),
+        "split_assign": _split_assign_oracle(),
         "dedup_embedding_pairs": """
             WITH b AS (SELECT vec_id AS id, embedding AS vec, label AS blk FROM embeddings)
             SELECT id_a, id_b, cosine FROM (

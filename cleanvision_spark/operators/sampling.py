@@ -1,0 +1,120 @@
+"""Deterministic sampling and split assignment — the reproducible
+web-scale primitives a training pipeline needs around the filters:
+take a stable p% sample of a 100 TB corpus, stratify it by a column,
+assign train/val/test, and get the SAME rows on any cluster, any
+partitioning, any Spark version.
+
+Mechanism: the first 15 hex digits of md5(salt ':' key) compared
+LEXICOGRAPHICALLY against a fixed-length hex threshold. Fixed-length
+lowercase-hex string comparison == numeric comparison, md5 renders
+lowercase hex identically in Spark, DuckDB, and Python, and 15 hex
+digits (60 bits) keeps everything inside exact integer range — so the
+same rows are selected by the Spark plan, the DuckDB oracle, and any
+independent reimplementation. Zero shuffle, zero Python: a codegen'd
+filter/CASE over the scan, fully pushdown-compatible.
+
+No reference analog (the reference scores single datasets); standard
+practice per The Pile / C4 / MassiveText reproducibility notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 15
+_SPACE = 16**_HEX_DIGITS
+
+
+def hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> fixed-width lowercase hex cutoff; rows whose
+    hash prefix sorts strictly below it are selected."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        # every 15-digit prefix sorts below 'g', so 1.0 keeps everything
+        return "g"
+    return format(int(fraction * _SPACE), f"0{_HEX_DIGITS}x")
+
+
+def hash_prefix(key: Column | str, salt: str = "") -> Column:
+    """the 15-hex-digit selection key for a row"""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def duckdb_hash_prefix(key_sql: str, salt: str = "") -> str:
+    """DuckDB mirror of hash_prefix for oracle SQL"""
+    return f"substring(md5('{salt}' || ':' || CAST({key_sql} AS VARCHAR)), 1, {_HEX_DIGITS})"
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """stable ~fraction sample keyed on key_col: same rows at any
+    parallelism, cluster size, or run; changing salt draws an
+    independent sample."""
+    return df.filter(hash_prefix(key_col, salt) < F.lit(hex_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """per-stratum deterministic sampling (e.g. per-language corpus
+    reweighting: {'en': 0.3, 'de': 1.0}); strata absent from
+    ``fractions`` are kept at ``default``."""
+    prefix = hash_prefix(key_col, salt)
+    cutoff = F.lit(hex_threshold(default))
+    for value, frac in fractions.items():
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(hex_threshold(frac))
+        ).otherwise(cutoff)
+    return df.filter(prefix < cutoff)
+
+
+def split_cutoffs(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, hex cutoff) per split, cutoffs cumulative; the LAST split
+    gets cutoff 'g' (catch-all). Shared by split_assign and any oracle
+    SQL so the float cumulative sums — and therefore the exact hash
+    boundaries — are computed once, in one place (0.8 + 0.1 is
+    0.9000000000000001 in IEEE, ~128 hash values away from 0.9)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    items = list(weights.items())
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, w in items[:-1]:
+        cum += w
+        out.append((name, hex_threshold(min(cum, 1.0))))
+    out.append((items[-1][0], "g"))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """append a deterministic split label ('train'/'val'/'test', any
+    names) with the given weights; weights must sum to ~1. Order of the
+    dict fixes the hash-range layout, so adding a split at the END
+    leaves existing assignments mostly stable."""
+    prefix = hash_prefix(key_col, salt)
+    cutoffs = split_cutoffs(weights)
+    expr = None
+    for name, cut in cutoffs[:-1]:
+        cond = prefix < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(cutoffs[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

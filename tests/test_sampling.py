@@ -1,0 +1,109 @@
+"""Deterministic sampling / split assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_sample_partition_invariant(docs):
+    from cleanvision_spark.operators.sampling import deterministic_sample
+
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, "s").select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.3, "s")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+    # ~30% of 500 with 60-bit uniform hashing: generous band
+    assert 100 <= len(a) <= 200
+
+
+def test_sample_salt_independent(docs):
+    from cleanvision_spark.operators.sampling import deterministic_sample
+
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, "s1").select("doc_id").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, "s2").select("doc_id").collect()}
+    assert a != b
+    # independent draws overlap ~9%
+    assert len(a & b) < len(a)
+
+
+def test_sample_nested(docs):
+    """a smaller fraction is a SUBSET of a larger one (same salt) —
+    the property that makes hash-threshold sampling resumable."""
+    from cleanvision_spark.operators.sampling import deterministic_sample
+
+    small = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.1, "s").select("doc_id").collect()}
+    big = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.4, "s").select("doc_id").collect()}
+    assert small <= big
+
+
+def test_sample_fraction_edges(docs):
+    from cleanvision_spark.operators.sampling import deterministic_sample
+
+    assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample(docs):
+    from cleanvision_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default=0.5
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == full["en"]
+    assert "de" not in counts
+    for lang, n in counts.items():
+        if lang not in ("en", "de"):
+            assert 0 <= n <= full[lang]
+
+
+def test_split_assign_complete_and_stable(docs):
+    from cleanvision_spark.operators.sampling import split_assign
+
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == docs.count()
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    # disjoint + complete by construction (one label per row); ratios sane
+    assert len(by["train"]) > len(by["val"])
+    assert len(by["train"]) > len(by["test"])
+    # partition-invariant
+    rows2 = {
+        (r["doc_id"], r["split"])
+        for r in split_assign(
+            docs.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    assert rows2 == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_split_cutoffs_shared_float_path():
+    """0.8 + 0.1 != 0.9 in IEEE; the shared helper is what keeps Spark
+    and any oracle on the same boundary."""
+    from cleanvision_spark.operators.sampling import hex_threshold, split_cutoffs
+
+    cuts = split_cutoffs({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert cuts[0] == ("train", hex_threshold(0.8))
+    # the cumulative boundary is hex_threshold(0.8 + 0.1), which need
+    # not equal hex_threshold(0.9) in IEEE floats — oracles must use
+    # split_cutoffs, not recompute literals
+    assert cuts[1] == ("val", hex_threshold(0.8 + 0.1))
+    assert cuts[2] == ("test", "g")
+    with pytest.raises(ValueError):
+        split_cutoffs({"a": 0.5, "b": 0.1})
