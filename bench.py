@@ -120,6 +120,24 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
     t("dedup_normalized", lambda: dedup_normalized(docs, "doc_id").count())
     t("dedup_minhash", lambda: dedup_minhash(docs, "doc_id").count())
     t("token_quality", lambda: token_counts(docs, "doc_id").count() + quality_scores(docs, "doc_id").count())
+
+    from cleanvision_spark.operators.decontaminate import decontaminate
+    from cleanvision_spark.operators.sampling import split_assign
+    from cleanvision_spark.operators.textqc import repetition_signals
+
+    t("repetition_signals", lambda: repetition_signals(docs, "doc_id").count())
+    t(
+        "decontaminate",
+        lambda: decontaminate(
+            docs, docs.filter(F.col("doc_id") % 97 == 3), "doc_id", n=3
+        ).count(),
+    )
+    t(
+        "split_assign",
+        lambda: split_assign(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).count(),
+    )
     t("ann_brute_topk", lambda: len(brute_force_topk(emb, qvec, 10).collect()))
     t("ann_lsh_topk", lambda: len(lsh_topk(emb, qvec, 10).collect()))
 
