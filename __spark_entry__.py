@@ -660,6 +660,28 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: whitespace-token counts laid
+    end-to-end in doc_id order into 2048-token training sequences via
+    the two-phase distributed prefix sum (operators/packing.py); the
+    oracle is the naive single-window global cumsum."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+    from cleanvision_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    trimmed = F.trim(F.col("text"))
+    toks = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, WS_RUN_RE)))
+        .cast("long")
+    )
+    return pack_sequences(
+        docs.select("doc_id", toks.alias("n_tokens")), "doc_id", "n_tokens", 2048
+    )
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.textqc import doc_fingerprints
 
@@ -1133,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_3gram": _q_decontaminate_3gram,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
+        "pack_sequences": _q_pack_sequences,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1556,6 +1579,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '{WS_SQL}'))
+                      END)::BIGINT AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   (cum // 2048)::BIGINT AS seq_id,
+                   (cum % 2048)::BIGINT AS seq_offset
+            FROM c
+        """,
         "dedup_embedding_pairs": """
             WITH b AS (SELECT vec_id AS id, embedding AS vec, label AS blk FROM embeddings)
             SELECT id_a, id_b, cosine FROM (

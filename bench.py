@@ -138,6 +138,18 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
             docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
         ).count(),
     )
+
+    from cleanvision_spark.operators.packing import pack_sequences
+
+    t(
+        "pack_sequences",
+        lambda: pack_sequences(
+            docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+            "doc_id",
+            "n_tokens",
+            2048,
+        ).count(),
+    )
     t("ann_brute_topk", lambda: len(brute_force_topk(emb, qvec, 10).collect()))
     t("ann_lsh_topk", lambda: len(lsh_topk(emb, qvec, 10).collect()))
 

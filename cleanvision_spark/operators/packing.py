@@ -1,0 +1,76 @@
+"""Sequence packing — lay filtered documents end-to-end (in a stable
+key order) into fixed token-budget training sequences, the step between
+"clean corpus" and "pretraining batches".
+
+Boundary-split packing: with documents concatenated in ``id`` order,
+document d starts at global token offset cum_before(d); it lands in
+sequence ``seq_id = cum_before // seq_len`` at ``seq_offset =
+cum_before % seq_len`` (a document whose tokens cross the boundary is
+split across sequences by the downstream tokenizer, as in GPT-style
+packing).
+
+The naive Spark plan — ``sum(tokens) OVER (ORDER BY id)`` with no
+PARTITION BY — funnels the whole corpus through ONE task. This
+implementation is the scale-correct two-phase prefix sum instead:
+
+1. within-bucket exclusive cumsum, bucket = id // bucket_size — a
+   window PARTITIONED by bucket, fully parallel;
+2. per-bucket totals (one tiny groupBy) turned into exclusive bucket
+   offsets by a window over the BUCKET table (rows = N / bucket_size —
+   the only serial step, ~1e6 rows even at corpus scale with
+   bucket_size ~1e6; recurse the same trick if that ever dominates),
+   broadcast-joined back.
+
+cum_before = bucket_offset + within_bucket_cum. All integer math, so
+any engine reproduces it exactly (the DuckDB oracle uses the plain
+global window — same values, different plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """(id, n_tokens, seq_id, seq_offset) for every input row; ``id``
+    must be numeric (the packing order). Rows with zero tokens get a
+    position like any other (empty docs should be filtered upstream)."""
+    if seq_len <= 0 or bucket_size <= 0:
+        raise ValueError("seq_len and bucket_size must be positive")
+    idc = F.col(id_col)
+    tok = F.col(token_col).cast("long")
+    b = F.floor(idc / F.lit(bucket_size)).alias("_bucket")
+    base = df.select(idc.alias(id_col), tok.alias("n_tokens"), b)
+
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_in = base.withColumn(
+        "_in_cum", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_b_off", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_bucket", "_b_off")
+
+    cum = F.col("_b_off") + F.col("_in_cum")
+    return (
+        with_in.join(F.broadcast(offsets), "_bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor(cum / F.lit(seq_len)).cast("long").alias("seq_id"),
+            (cum % F.lit(seq_len)).cast("long").alias("seq_offset"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""pack_sequences: two-phase distributed prefix sum vs an independent
+pure-Python cumulative sum, plus partition-invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.packing import pack_sequences
+
+
+def _expected(rows, seq_len):
+    # independent path: plain running total in id order
+    out = {}
+    cum = 0
+    for i, tok in sorted(rows):
+        out[i] = (tok, cum // seq_len, cum % seq_len)
+        cum += tok
+    return out
+
+
+def _check(spark, rows, seq_len, bucket_size):
+    df = spark.createDataFrame(rows, "id long, tok long").repartition(5)
+    got = {
+        r["id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, "id", "tok", seq_len, bucket_size).collect()
+    }
+    assert got == _expected(rows, seq_len)
+
+
+def test_pack_basic(spark):
+    rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+    _check(spark, rows, seq_len=128, bucket_size=16)
+
+
+def test_pack_sparse_ids_and_zero_tokens(spark):
+    # non-contiguous ids, zero-token rows, doc longer than seq_len
+    rows = [(3, 10), (17, 0), (250, 300), (251, 5), (9000, 1), (9001, 64)]
+    _check(spark, rows, seq_len=64, bucket_size=100)
+
+
+def test_pack_bucket_boundaries(spark):
+    # bucket_size=1: every row its own bucket — pure phase-2 path
+    rows = [(i, 7) for i in range(50)]
+    _check(spark, rows, seq_len=10, bucket_size=1)
+    # one giant bucket — pure phase-1 path
+    _check(spark, rows, seq_len=10, bucket_size=10_000)
+
+
+def test_pack_partition_invariance(spark):
+    rows = [(i, (i * 13) % 40 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    a = pack_sequences(df.repartition(1), "id", "tok", 256).collect()
+    b = pack_sequences(df.repartition(17, "tok"), "id", "tok", 256).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_validates_args(spark):
+    df = spark.createDataFrame([(1, 1)], "id long, tok long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "tok", 0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "id", "tok", 128, bucket_size=0)
