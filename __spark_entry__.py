@@ -660,6 +660,23 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: exact word-set jaccard >= 0.5
+    pairs (lang-blocked) fed into distributed connected components
+    (alternating large-star/small-star); every document gets the min
+    doc_id of its cluster. Oracle: the same pair CTE + a recursive
+    min-reachability CTE in DuckDB."""
+    from cleanvision_spark.operators.dedup import jaccard_pairs_blocked
+    from cleanvision_spark.operators.graph import assign_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs_blocked(docs, "doc_id", block_cols=["lang"], threshold=0.5)
+    out = assign_components(
+        docs, "doc_id", pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    return out.select("doc_id", "component")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: whitespace-token counts laid
     end-to-end in doc_id order into 2048-token training sequences via
@@ -1156,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "pack_sequences": _q_pack_sequences,
+        "dup_clusters": _q_dup_clusters,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1579,6 +1597,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
+        "dup_clusters": rf"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS id, lang,
+                     list_distinct(string_split_regex(trim(text), '{WS_SQL}')) AS words,
+                     CAST(floor(length(string_split_regex(trim(text), '{WS_SQL}'))::DOUBLE / 8.0) AS BIGINT) AS tb
+              FROM documents
+            ),
+            pairs AS (
+              SELECT l.id AS id_a, r.id AS id_b
+              FROM base l JOIN base r
+                ON l.tb = r.tb AND l.lang = r.lang AND l.id < r.id
+              WHERE round(length(list_intersect(l.words, r.words))::DOUBLE
+                          / length(list_distinct(l.words || r.words))::DOUBLE, 6) >= 0.5
+            ),
+            und AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS comp FROM documents
+              UNION
+              SELECT u.a AS id, r.comp FROM und u JOIN reach r ON u.b = r.id
+            )
+            SELECT id AS doc_id, min(comp)::BIGINT AS component
+            FROM reach GROUP BY id
+        """,
         "pack_sequences": f"""
             WITH t AS (
               SELECT doc_id,

@@ -139,7 +139,20 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
         ).count(),
     )
 
+    from cleanvision_spark.operators.graph import assign_components
     from cleanvision_spark.operators.packing import pack_sequences
+
+    def _dup_clusters_run():
+        from cleanvision_spark.operators.dedup import jaccard_pairs_blocked
+
+        pairs = jaccard_pairs_blocked(
+            docs, "doc_id", block_cols=["lang"], threshold=0.5
+        )
+        return assign_components(
+            docs, "doc_id", pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+        ).count()
+
+    t("dup_clusters", _dup_clusters_run)
 
     t(
         "pack_sequences",

@@ -1,0 +1,100 @@
+"""connected_components vs an independent union-find, on adversarial
+graph shapes (chains are the min-propagation killer; the alternating
+large-star/small-star algorithm must converge fast on them)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.graph import assign_components, connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_cc_long_chain(spark):
+    # a 120-node path: diameter 119 — min-propagation would need ~120
+    # rounds; the alternating algorithm converges within the 50-cap
+    _check(spark, [(i, i + 1) for i in range(120)])
+
+
+def test_cc_mixed_shapes(spark):
+    edges = (
+        [(i, i + 1) for i in range(10, 30)]  # chain
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]  # clique
+        + [(200, x) for x in range(201, 240)]  # star
+        + [(300, 301)]  # single edge
+        + [(400, 400)]  # self loop only -> singleton component
+    )
+    _check(spark, edges)
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 150
+        edges = [
+            (rng.randrange(n) * 13, rng.randrange(n) * 13) for _ in range(n)
+        ]
+        _check(spark, edges)
+
+
+def test_cc_reversed_and_duplicate_edges(spark):
+    edges = [(5, 1), (1, 5), (5, 1), (2, 5), (9, 2), (7, 7)]
+    _check(spark, edges)
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 60)] + [(i, i + 30) for i in range(70, 90)]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df2 = spark.createDataFrame(edges, "src long, dst long").repartition(13, "dst")
+    a = sorted(map(tuple, connected_components(df1).collect()))
+    b = sorted(map(tuple, connected_components(df2).collect()))
+    assert a == b
+
+
+def test_assign_components_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    edges = spark.createDataFrame([(1, 3), (3, 5), (7, 8)], "src long, dst long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in assign_components(docs, "doc_id", edges).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 6, 7: 7, 8: 7, 9: 9}
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iterations=1)
