@@ -660,6 +660,29 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _q_segment_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup, keep-first-occurrence semantics.
+    The synthetic corpus has no newlines, so ' a ' (a frequent token)
+    serves as the segment delimiter — the point is the corpus-wide
+    keep-first machinery, not the split character."""
+    from cleanvision_spark.operators.segments import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_dedup(
+        docs, "doc_id", delim=" a ", joiner="\n", mode="keep_first"
+    )
+
+
+def _q_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal: strip segments recurring in >= 3 docs."""
+    from cleanvision_spark.operators.segments import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_dedup(
+        docs, "doc_id", delim=" a ", joiner="\n", mode="drop_frequent", min_docs=3
+    )
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: exact word-set jaccard >= 0.5
     pairs (lang-blocked) fed into distributed connected components
@@ -1174,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "pack_sequences": _q_pack_sequences,
         "dup_clusters": _q_dup_clusters,
+        "segment_dedup_first": _q_segment_dedup_first,
+        "segment_boilerplate": _q_segment_boilerplate,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1597,6 +1622,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
+        "segment_dedup_first": rf"""
+            WITH s AS (
+              SELECT doc_id, u.i - 1 AS pos, parts[u.i] AS seg
+              FROM (SELECT doc_id, string_split_regex(text, ' a ') AS parts
+                    FROM documents),
+                   UNNEST(range(1, len(parts) + 1)) u(i)
+            ),
+            n AS (
+              SELECT doc_id, pos, seg,
+                     regexp_replace(lower(trim(seg)), '{WS_SQL}', ' ', 'g') AS norm
+              FROM s
+            ),
+            r AS (
+              SELECT doc_id, pos, seg, norm,
+                     row_number() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+              FROM n
+            ),
+            f AS (
+              SELECT doc_id, pos, seg,
+                     (length(norm) = 0 OR rn = 1) AS kept
+              FROM r
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_segments,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN kept THEN seg END,
+                                       chr(10) ORDER BY pos), '') AS text_dedup
+            FROM f GROUP BY doc_id
+        """,
+        "segment_boilerplate": rf"""
+            WITH s AS (
+              SELECT doc_id, u.i - 1 AS pos, parts[u.i] AS seg
+              FROM (SELECT doc_id, string_split_regex(text, ' a ') AS parts
+                    FROM documents),
+                   UNNEST(range(1, len(parts) + 1)) u(i)
+            ),
+            n AS (
+              SELECT doc_id, pos, seg,
+                     regexp_replace(lower(trim(seg)), '{WS_SQL}', ' ', 'g') AS norm
+              FROM s
+            ),
+            d AS (
+              SELECT norm, count(DISTINCT doc_id) AS ndocs
+              FROM n WHERE length(norm) > 0 GROUP BY norm
+            ),
+            f AS (
+              SELECT n.doc_id, n.pos, n.seg,
+                     (length(n.norm) = 0 OR d.ndocs < 3) AS kept
+              FROM n LEFT JOIN d USING (norm)
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_segments,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN kept THEN seg END,
+                                       chr(10) ORDER BY pos), '') AS text_dedup
+            FROM f GROUP BY doc_id
+        """,
         "dup_clusters": rf"""
             WITH RECURSIVE base AS (
               SELECT doc_id AS id, lang,

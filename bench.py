@@ -154,6 +154,13 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
 
     t("dup_clusters", _dup_clusters_run)
 
+    from cleanvision_spark.operators.segments import segment_dedup
+
+    t(
+        "segment_dedup",
+        lambda: segment_dedup(docs, "doc_id", delim=" a ").count(),
+    )
+
     t(
         "pack_sequences",
         lambda: pack_sequences(

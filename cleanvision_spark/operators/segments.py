@@ -1,0 +1,100 @@
+"""Segment-level (paragraph/line) dedup — the CCNet recipe: split each
+document into segments, normalize, and either keep only the corpus-wide
+FIRST occurrence of each repeated segment (paragraph dedup) or strip
+segments that recur across many documents (boilerplate: headers,
+footers, nav bars, license banners).
+
+Reference scope note: cleanvision has no sub-document operators (its
+unit is the whole image file); this extends the dedup family to the
+sub-document granularity every web-scale text pipeline needs (CCNet,
+RefinedWeb, Dolma all dedup at paragraph/line level).
+
+Scale shape: posexplode (narrow) -> groupBy on xxhash64(normalized
+segment) — an 8-byte shuffle key with map-side partial aggregation, so
+a boilerplate segment occurring 10^9 times is combined per-partition
+before the shuffle — -> join back on the same 8-byte key (AQE handles
+the hot-key skew), -> per-document reassembly via collect_list of
+(pos, seg) structs (bounded by a single document's segment count, never
+a corpus-scale list). Everything is Catalyst built-ins; zero Python.
+
+Determinism: "first occurrence" is the minimum (doc_id, pos) pair —
+a total order, so results are identical at any parallelism. The 64-bit
+hash group key risks a 2^-64 cross-segment collision (would merge two
+distinct segments); acceptable at any realistic corpus size and
+absent from the DuckDB oracle (which groups by the string itself), so
+the oracle would catch a collision at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MODES = ("keep_first", "drop_frequent")
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    delim: str = r"\n",
+    joiner: str = "\n",
+    mode: str = "keep_first",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Row-preserving: (id, text_dedup, n_segments, n_kept).
+
+    ``delim`` is a Java regex passed to split(); ``joiner`` is the
+    literal used to reassemble kept segments in original order.
+    ``mode='keep_first'``: a repeated (normalized) segment survives only
+    at its minimum (doc_id, pos) occurrence. ``mode='drop_frequent'``:
+    segments appearing in >= min_docs distinct documents are removed
+    everywhere. Segments that normalize to empty are structural and are
+    always kept."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    seg = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_seg"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("_seg"))), WS_RUN_RE, " ")
+    occ = seg.withColumn("_h", F.xxhash64(norm)).withColumn(
+        "_empty", F.length(norm) == 0
+    )
+
+    grp = (
+        occ.filter(~F.col("_empty"))
+        .groupBy("_h")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"),
+            F.count_distinct(F.col(id_col)).alias("_ndocs"),
+        )
+    )
+    joined = occ.join(grp, "_h", "left")
+    if mode == "keep_first":
+        kept = F.col("_empty") | (
+            F.struct(F.col(id_col), F.col("_pos")) == F.col("_first")
+        )
+    else:
+        kept = F.col("_empty") | (F.col("_ndocs") < F.lit(min_docs))
+    joined = joined.withColumn("_kept", kept)
+
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_kept"), F.struct(F.col("_pos"), F.col("_seg"))
+                        )
+                    )
+                ),
+                lambda x: x["_seg"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+    )

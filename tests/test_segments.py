@@ -1,0 +1,93 @@
+"""segment_dedup vs an independent pure-Python implementation."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cleanvision_spark.operators.segments import segment_dedup
+
+WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _py_segment_dedup(rows, delim, joiner, mode, min_docs):
+    # independent path: explicit dict bookkeeping, no Spark concepts
+    occs = []  # (doc_id, pos, seg, norm)
+    for doc_id, text in rows:
+        for pos, s in enumerate(re.split(delim, text)):
+            occs.append((doc_id, pos, s, WS.sub(" ", s.strip().lower())))
+    first = {}
+    ndocs = {}
+    for doc_id, pos, _s, norm in occs:
+        if not norm:
+            continue
+        if norm not in first or (doc_id, pos) < first[norm]:
+            first[norm] = (doc_id, pos)
+        ndocs.setdefault(norm, set()).add(doc_id)
+    out = {}
+    for doc_id, text in rows:
+        segs = [
+            (pos, s, WS.sub(" ", s.strip().lower()))
+            for pos, s in enumerate(re.split(delim, text))
+        ]
+        kept = []
+        for pos, s, norm in segs:
+            if not norm:
+                keep = True
+            elif mode == "keep_first":
+                keep = first[norm] == (doc_id, pos)
+            else:
+                keep = len(ndocs[norm]) < min_docs
+            if keep:
+                kept.append(s)
+        out[doc_id] = (len(segs), len(kept), joiner.join(kept))
+    return out
+
+
+CORPUS = [
+    (1, "alpha beta\ngamma\nalpha beta\nfooter text"),
+    (2, "  ALPHA   beta \ndelta\nfooter text"),
+    (3, "footer text\nunique para\n\ngamma"),
+    (4, ""),
+    (5, "solo doc no repeats"),
+]
+
+
+@pytest.mark.parametrize("mode,min_docs", [("keep_first", 2), ("drop_frequent", 2), ("drop_frequent", 3)])
+def test_segment_dedup_modes(spark, mode, min_docs):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string").repartition(4)
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(
+            df, "doc_id", mode=mode, min_docs=min_docs
+        ).collect()
+    }
+    assert got == _py_segment_dedup(CORPUS, r"\n", "\n", mode, min_docs)
+
+
+def test_segment_dedup_custom_delim(spark):
+    rows = [(1, "x a y a x"), (2, "x a z"), (3, "q a y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(
+            df, "doc_id", delim=" a ", joiner=" | ", mode="keep_first"
+        ).collect()
+    }
+    assert got == _py_segment_dedup(rows, " a ", " | ", "keep_first", 2)
+
+
+def test_segment_dedup_partition_invariance(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    a = sorted(map(tuple, segment_dedup(df.repartition(1), "doc_id").collect()))
+    b = sorted(
+        map(tuple, segment_dedup(df.repartition(5, "text"), "doc_id").collect())
+    )
+    assert a == b
+
+
+def test_segment_dedup_bad_mode(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        segment_dedup(df, "doc_id", mode="nope")
