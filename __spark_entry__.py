@@ -88,6 +88,41 @@ def _epoch_s(colname: str):
 # (\s diverges on \x0B between the two engines)
 WS_SQL = "[ \\t\\n\\f\\r]+"
 
+# DuckDB mirror of operators/dsir.py: hashed-n-gram (n=1,2) bucket
+# counts for target (lang='zh') vs raw (all docs), Laplace alpha=1 over
+# 16^3=4096 buckets, per-doc summed log-likelihood ratio
+_DSIR_CTE = f"""
+dsir_w AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE list_transform(string_split_regex(trim(text), '{WS_SQL}'),
+                                  x -> lower(x)) END AS words
+  FROM documents
+),
+dsir_g AS (
+  SELECT doc_id, lang,
+         substring(md5('dsir:' || array_to_string(words[i:i+n-1], ' ')), 1, 3) AS bucket
+  FROM dsir_w, UNNEST([1, 2]) ns(n),
+       UNNEST(range(1, greatest(len(words) - n + 1, 0) + 1)) u(i)
+),
+dsir_ct AS (SELECT bucket, count(*) AS cnt_t FROM dsir_g WHERE lang = 'zh' GROUP BY bucket),
+dsir_cr AS (SELECT bucket, count(*) AS cnt_r FROM dsir_g GROUP BY bucket),
+dsir_tot AS (
+  SELECT (SELECT coalesce(sum(cnt_t), 0) FROM dsir_ct) AS tt,
+         (SELECT coalesce(sum(cnt_r), 0) FROM dsir_cr) AS tr
+),
+dsir_ratio AS (
+  SELECT coalesce(dsir_ct.bucket, dsir_cr.bucket) AS bucket,
+         ln((coalesce(cnt_t, 0) + 1.0) / (tt + 4096.0))
+         - ln((coalesce(cnt_r, 0) + 1.0) / (tr + 4096.0)) AS log_ratio
+  FROM dsir_ct FULL JOIN dsir_cr ON dsir_ct.bucket = dsir_cr.bucket, dsir_tot
+),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams, sum(r.log_ratio) AS s
+  FROM dsir_g g JOIN dsir_ratio r USING (bucket) GROUP BY g.doc_id
+)
+"""
+
 # DuckDB mirror of cleanvision_spark.sources.corpus.corpus_from_documents
 CORPUS_CTE = """
 corpus AS (
@@ -660,6 +695,34 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with the zh-language slice as the target
+    domain and the full corpus as raw."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.dsir import dsir_fit, dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ratios = dsir_fit(docs.filter(F.col("lang") == "zh"), docs)
+    return dsir_weights(docs, "doc_id", ratios)
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights_df(spark, sf_dir)
+
+
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-50 importance resampling over the DSIR weights; the
+    rounded weight column feeds the scorer, so cross-engine ordering
+    parity holds to ~1e-16 (gumbel ulp) — far beyond tie range."""
+    from cleanvision_spark.operators.dsir import importance_resample
+
+    w = _dsir_weights_df(spark, sf_dir)
+    return importance_resample(w, "doc_id", "dsir_logratio", 50, salt="r3").select(
+        "doc_id", "dsir_logratio"
+    )
+
+
 def _q_segment_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup, keep-first-occurrence semantics.
     The synthetic corpus has no newlines, so ' a ' (a frequent token)
@@ -1199,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "segment_dedup_first": _q_segment_dedup_first,
         "segment_boilerplate": _q_segment_boilerplate,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_resample": _q_dsir_resample,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1622,6 +1687,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
+        "dsir_weights": rf"""
+            WITH {_DSIR_CTE}
+            SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+                   round(coalesce(per.s, 0.0), 6) AS dsir_logratio
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "dsir_resample": rf"""
+            WITH {_DSIR_CTE},
+            w AS (
+              SELECT d.doc_id,
+                     round(coalesce(per.s, 0.0), 6) AS dsir_logratio
+              FROM documents d LEFT JOIN per USING (doc_id)
+            )
+            SELECT doc_id, dsir_logratio FROM w
+            ORDER BY dsir_logratio
+                     + (-ln(-ln((('0x' || substring(md5('r3:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                                / 4503599627370496.0))) DESC,
+                     doc_id
+            LIMIT 50
+        """,
         "segment_dedup_first": rf"""
             WITH s AS (
               SELECT doc_id, u.i - 1 AS pos, parts[u.i] AS seg

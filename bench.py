@@ -161,6 +161,14 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
         lambda: segment_dedup(docs, "doc_id", delim=" a ").count(),
     )
 
+    from cleanvision_spark.operators.dsir import dsir_fit, dsir_weights
+
+    def _dsir_run():
+        ratios = dsir_fit(docs.filter(F.col("lang") == "zh"), docs)
+        return dsir_weights(docs, "doc_id", ratios).count()
+
+    t("dsir_weights", _dsir_run)
+
     t(
         "pack_sequences",
         lambda: pack_sequences(

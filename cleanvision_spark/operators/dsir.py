@@ -1,0 +1,166 @@
+"""DSIR-style importance weighting and resampling — select raw-corpus
+documents that look like a target domain (Xie et al., "Data Selection
+for Language Models via Importance Resampling", NeurIPS 2023).
+
+Mechanism: hashed word-n-gram bag-of-buckets features; each bucket b
+gets a smoothed log-likelihood ratio ln p_target(b) - ln p_raw(b); a
+document's weight is the sum of ratios over its gram occurrences;
+selection is Gumbel-top-k over weight + deterministic Gumbel noise.
+
+No reference analog (cleanvision scores one dataset in isolation);
+this is the standard shape for targeted pretraining-data selection.
+
+Cross-engine determinism:
+- bucket id = first 3 hex chars of md5(salt ':' gram) — 4096 string
+  buckets, rendered identically by Spark, DuckDB, and Python;
+- Gumbel uniforms come from the first 13 hex chars of an md5, exact in
+  a double (2^52), so the oracle reproduces the noise bit-for-bit.
+
+Scale shape: fit = two corpus scans producing 4096-row count tables
+(map-side-combined groupBy on 3-char keys) crossed with a 1-row totals
+broadcast — no driver-side collect; weights = narrow gram explode
+joined to the BROADCAST 4096-row ratio table, then per-doc sum; top-k
+= TakeOrderedAndProject (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.textqc import _words_array, word_ngrams
+
+BUCKET_HEX = 3  # 16^3 = 4096 feature buckets
+_GUMBEL_HEX = 13
+_GUMBEL_SPACE = float(16**_GUMBEL_HEX)
+
+
+def gram_bucket(gram: Column, salt: str = "dsir") -> Column:
+    """3-hex-char feature bucket for one n-gram string."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), gram)), 1, BUCKET_HEX
+    )
+
+
+def _doc_buckets(text_col: str, ns: tuple[int, ...], salt: str) -> Column:
+    """array of bucket ids, one per gram occurrence (all n in ns)."""
+    words = F.transform(_words_array(text_col), lambda w: F.lower(w))
+    grams = F.concat(*[word_ngrams(words, n) for n in ns])
+    return F.transform(grams, lambda g: gram_bucket(g, salt))
+
+
+def _bucket_counts(df: DataFrame, text_col: str, ns, salt) -> DataFrame:
+    return (
+        df.select(F.explode(_doc_buckets(text_col, ns, salt)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_fit(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2),
+    salt: str = "dsir",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, log_ratio) — a <=4096-row table; broadcast it into
+    dsir_weights. alpha is the Laplace smoothing pseudo-count."""
+    n_buckets = 16**BUCKET_HEX
+    tgt = _bucket_counts(target_df, text_col, ns, salt)
+    raw = _bucket_counts(raw_df, text_col, ns, salt)
+    joined = tgt.withColumnRenamed("cnt", "cnt_t").join(
+        raw.withColumnRenamed("cnt", "cnt_r"), "bucket", "full"
+    )
+    totals = joined.agg(
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("tot_t"),
+        F.coalesce(F.sum("cnt_r"), F.lit(0)).alias("tot_r"),
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    ct = F.coalesce(F.col("cnt_t"), F.lit(0)).cast("double") + F.lit(alpha)
+    cr = F.coalesce(F.col("cnt_r"), F.lit(0)).cast("double") + F.lit(alpha)
+    tt = F.col("tot_t").cast("double") + F.lit(alpha * n_buckets)
+    tr = F.col("tot_r").cast("double") + F.lit(alpha * n_buckets)
+    return j.select(
+        "bucket", (F.log(ct / tt) - F.log(cr / tr)).alias("log_ratio")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    ratios: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2),
+    salt: str = "dsir",
+) -> DataFrame:
+    """(id, n_grams, dsir_logratio): summed bucket log-ratio over the
+    document's gram occurrences. Row-preserving; gramless docs score
+    0.0."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(_doc_buckets(text_col, ns, salt)).alias("bucket"),
+    )
+    per_doc = (
+        ex.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).alias("n_grams"),
+            F.round(
+                F.coalesce(F.sum("log_ratio"), F.lit(0.0)), 6
+            ).alias("dsir_logratio"),
+        )
+    )
+    return per_doc
+
+
+def gumbel_noise(key: Column | str, salt: str = "") -> Column:
+    """deterministic standard-Gumbel draw from md5(salt ':' key): the
+    13-hex-digit prefix is exact in a double, u=(v+0.5)/16^13 in (0,1),
+    g = -ln(-ln(u)). Identical in Spark, DuckDB, and numpy."""
+    c = F.col(key) if isinstance(key, str) else key
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string"))),
+            1,
+            _GUMBEL_HEX,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(_GUMBEL_SPACE)
+    return -F.log(-F.log(u))
+
+
+def importance_resample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "resample",
+) -> DataFrame:
+    """Gumbel-top-k: take the k rows maximizing weight + Gumbel(key) —
+    equivalent to sampling k rows without replacement with probability
+    proportional to exp(weight), but fully deterministic given the
+    salt. Compiles to TakeOrderedAndProject (per-partition heaps)."""
+    score = (F.col(weight_col) + gumbel_noise(id_col, salt)).alias("_gumbel_score")
+    return (
+        df.withColumn("_gumbel_score", score)
+        .orderBy(F.col("_gumbel_score").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_gumbel_score")
+    )
+
+
+def py_gumbel_score(key, weight: float, salt: str = "resample") -> float:
+    """independent-path scorer for tests (no Spark)"""
+    import hashlib
+
+    v = int(
+        hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:_GUMBEL_HEX], 16
+    )
+    u = (v + 0.5) / _GUMBEL_SPACE
+    return weight + -math.log(-math.log(u))

@@ -1,0 +1,114 @@
+"""DSIR importance weighting vs an independent Python implementation
+(hashlib + Counter — no Spark concepts)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from cleanvision_spark.operators.dsir import (
+    BUCKET_HEX,
+    dsir_fit,
+    dsir_weights,
+    importance_resample,
+    py_gumbel_score,
+)
+
+TARGET = [
+    (100, "red fish blue fish red fish"),
+    (101, "blue whale red fish"),
+    (102, "fish swim in the sea"),
+]
+RAW = [
+    (1, "red fish blue fish"),
+    (2, "stock market index falls"),
+    (3, "the sea has fish"),
+    (4, "market index rises on stock news"),
+    (5, ""),
+    (6, "fish"),
+]
+
+
+def _py_buckets(text, ns=(1, 2), salt="dsir"):
+    words = text.strip().lower().split()
+    if text.strip() == "":
+        words = []
+    out = []
+    for n in ns:
+        for i in range(max(len(words) - n + 1, 0)):
+            gram = " ".join(words[i : i + n])
+            out.append(
+                hashlib.md5(f"{salt}:{gram}".encode()).hexdigest()[:BUCKET_HEX]
+            )
+    return out
+
+
+def _py_weights(target, raw, alpha=1.0):
+    nb = 16**BUCKET_HEX
+    ct = Counter(b for _, t in target for b in _py_buckets(t))
+    cr = Counter(b for _, t in raw for b in _py_buckets(t))
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def ratio(b):
+        return math.log((ct[b] + alpha) / (tt + alpha * nb)) - math.log(
+            (cr[b] + alpha) / (tr + alpha * nb)
+        )
+
+    out = {}
+    for doc_id, t in raw:
+        bs = _py_buckets(t)
+        out[doc_id] = (len(bs), round(sum(ratio(b) for b in bs), 6))
+    return out
+
+
+def test_dsir_weights_vs_python(spark):
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string").repartition(3)
+    ratios = dsir_fit(tgt, raw)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logratio"])
+        for r in dsir_weights(raw, "doc_id", ratios).collect()
+    }
+    exp = _py_weights(TARGET, RAW)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert abs(got[k][1] - exp[k][1]) < 2e-6, (k, got[k], exp[k])
+
+
+def test_dsir_fishy_docs_rank_higher(spark):
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    ratios = dsir_fit(tgt, raw)
+    w = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_weights(raw, "doc_id", ratios).collect()
+    }
+    # fish-domain docs must outrank the stock-market docs
+    assert w[1] > w[2] and w[3] > w[4] and w[1] > w[4]
+    assert w[5] == 0.0  # empty doc has no grams
+
+
+def test_importance_resample_matches_python(spark):
+    rows = [(i, float((i * 7) % 13) / 3.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r["doc_id"]
+        for r in importance_resample(df, "doc_id", "w", 25, salt="t").collect()
+    )
+    exp = sorted(
+        i
+        for i, _ in sorted(
+            rows, key=lambda r: (-py_gumbel_score(r[0], r[1], "t"), r[0])
+        )[:25]
+    )
+    assert got == exp
+
+
+def test_importance_resample_deterministic(spark):
+    rows = [(i, 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r["doc_id"] for r in importance_resample(df.repartition(1), "doc_id", "w", 10).collect())
+    b = sorted(r["doc_id"] for r in importance_resample(df.repartition(9), "doc_id", "w", 10).collect())
+    assert a == b
