@@ -695,6 +695,28 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style per-source cap via skew-free hash-quota."""
+    from cleanvision_spark.operators.mixing import cap_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_key(docs, "source", "doc_id", 15, salt="c3").select(
+        "doc_id", "source"
+    )
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.operators.mixing import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(docs, "source", "doc_id", _MIX_WEIGHTS, salt="m3").select(
+        "doc_id", "source"
+    )
+
+
 def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights with the zh-language slice as the target
     domain and the full corpus as raw."""
@@ -1264,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_boilerplate": _q_segment_boilerplate,
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
+        "cap_per_source": _q_cap_per_source,
+        "mixture_sample": _q_mixture_sample,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1331,6 +1355,46 @@ def _scrub_oracle() -> str:
         SELECT repo, path, commit,
                sha256({duckdb_scrub_expr('content')}) AS sha256_scrubbed
         FROM corpus
+    """
+
+
+_QUOTA_SPACE_SQL = "1152921504606846976.0"  # 16^15 = 2^60, exact double
+
+
+def _cap_per_source_oracle() -> str:
+    """hash-quota parity: both engines compute frac as double, multiply
+    by 2^60 (exact), floor, and compare as BIGINT — see
+    operators/mixing.py docstring."""
+    return f"""
+        WITH c AS (SELECT source, count(*)::BIGINT AS knt
+                   FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c USING (source)
+        WHERE knt <= 15 OR
+          ('0x' || substring(md5('c3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            < CAST(floor(least(15.0 / knt::DOUBLE, 1.0) * {_QUOTA_SPACE_SQL}) AS BIGINT)
+    """
+
+
+def _mixture_sample_oracle() -> str:
+    """weight literals come from the SAME dict (normalized in Python,
+    embedded via repr) so the doubles cannot drift between engines."""
+    total = sum(_MIX_WEIGHTS.values())
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v / total!r}" for k, v in _MIX_WEIGHTS.items()
+    )
+    return f"""
+        WITH c AS (
+          SELECT source, count(*)::BIGINT AS knt,
+                 (CASE source {whens} END)::DOUBLE AS w
+          FROM documents GROUP BY source
+        ),
+        cw AS (SELECT * FROM c WHERE w IS NOT NULL),
+        n AS (SELECT min(knt::DOUBLE / w) AS ntot FROM cw)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN cw USING (source), n
+        WHERE ('0x' || substring(md5('m3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST(floor(least(ntot * w / knt::DOUBLE, 1.0) * {_QUOTA_SPACE_SQL}) AS BIGINT)
     """
 
 
@@ -1687,6 +1751,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
+        "cap_per_source": _cap_per_source_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
         "dsir_weights": rf"""
             WITH {_DSIR_CTE}
             SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,

@@ -1,0 +1,129 @@
+"""Corpus mixture control — cap a single source/domain's share (C4
+caps URLs, Dolma caps domains) and hit target per-source proportions
+(mixture resampling), deterministically at any parallelism.
+
+No reference analog (cleanvision scores one dataset); these are the
+composition knobs every pretraining-corpus build turns.
+
+The scale question is per-key selection: an EXACT "keep the first n of
+each key" needs a total order within each key — a window over a
+possibly-mega key partition (one straggler task per hot domain). The
+default here is hash-quota selection instead: keep rows whose 60-bit
+md5 prefix falls below quota/count_k. That is a per-ROW codegen'd
+filter against a per-key threshold broadcast from a tiny count table —
+no window, no skew — and keeps Binomial(count_k, quota/count_k) rows
+(±sqrt noise around the cap, exact determinism, nested: a lower cap
+selects a subset of a higher cap). cap_per_key_exact is the windowed
+variant for keys the caller KNOWS are small.
+
+Cross-engine parity: the 15-hex md5 prefix is compared numerically
+against floor(fraction * 16^15); 16^15 = 2^60 is a power of two, so
+the double multiply is exact-deterministic in IEEE arithmetic and
+Spark, DuckDB, and Python agree row-for-row (see operators/sampling.py
+for the string-compare sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX = 15
+_SPACE = 16**_HEX  # 2^60: exactly representable as a double
+
+
+def _prefix_long(key: Column | str, salt: str) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string"))), 1, _HEX
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _quota_filter(frac: Column, id_col: str, salt: str) -> Column:
+    thr = F.floor(F.least(frac, F.lit(1.0)) * F.lit(float(_SPACE)))
+    return _prefix_long(id_col, salt) < thr
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_rows_per_key: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep ~max_rows_per_key rows per key value (hash-quota: binomial
+    around the cap, deterministic, skew-free). Keys at or under the cap
+    are kept whole."""
+    if max_rows_per_key <= 0:
+        raise ValueError("max_rows_per_key must be positive")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_knt"))
+    frac = F.lit(float(max_rows_per_key)) / F.col("_knt").cast("double")
+    return (
+        df.join(F.broadcast(counts), key_col)
+        .filter((F.col("_knt") <= max_rows_per_key) | _quota_filter(frac, id_col, salt))
+        .drop("_knt")
+    )
+
+
+def cap_per_key_exact(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_rows_per_key: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """EXACTLY max_rows_per_key rows per key, chosen in hash order
+    (deterministic). A window over each key partition — only for keys
+    the caller knows stay small (a hot domain with 10^9 rows becomes
+    one straggler task; use cap_per_key there)."""
+    if max_rows_per_key <= 0:
+        raise ValueError("max_rows_per_key must be positive")
+    w = Window.partitionBy(key_col).orderBy(
+        _prefix_long(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows_per_key)
+        .drop("_rn")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample to target per-key proportions, keeping as much data as
+    feasible: the binding key (smallest count_k / weight_k) is kept
+    whole and every other key is hash-quota'd down so the kept corpus
+    matches ``weights``. Keys absent from ``weights`` are dropped.
+    Deterministic; ~binomial noise around each key's target."""
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wexpr = F.lit(None).cast("double")
+    for k, v in weights.items():
+        wexpr = F.when(F.col(key_col) == k, F.lit(v / total_w)).otherwise(wexpr)
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_knt"))
+        .withColumn("_w", wexpr)
+        .filter(F.col("_w").isNotNull())
+    )
+    # feasible corpus size preserving proportions: min_k count_k / w_k
+    n_total = counts.agg(
+        F.min(F.col("_knt").cast("double") / F.col("_w")).alias("_ntot")
+    )
+    keyed = counts.crossJoin(F.broadcast(n_total))
+    frac = F.col("_ntot") * F.col("_w") / F.col("_knt").cast("double")
+    return (
+        df.join(F.broadcast(keyed), key_col)
+        .filter(_quota_filter(frac, id_col, salt))
+        .drop("_knt", "_w", "_ntot")
+    )

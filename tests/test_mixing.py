@@ -1,0 +1,91 @@
+"""cap_per_key / mixture_sample vs an independent hashlib-based path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from cleanvision_spark.operators.mixing import (
+    _SPACE,
+    cap_per_key,
+    cap_per_key_exact,
+    mixture_sample,
+)
+
+
+def _pfx(i, salt):
+    return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+
+
+ROWS = [(i, f"s{i % 5}") for i in range(400)]  # 5 keys x 80 rows
+
+
+def test_cap_per_key_vs_python(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, src string").repartition(7)
+    got = sorted(r["doc_id"] for r in cap_per_key(df, "src", "doc_id", 30, "c").collect())
+    from collections import Counter
+
+    cnt = Counter(s for _, s in ROWS)
+    exp = sorted(
+        i
+        for i, s in ROWS
+        if cnt[s] <= 30 or _pfx(i, "c") < int(min(30.0 / cnt[s], 1.0) * float(_SPACE))
+    )
+    assert got == exp
+    # roughly at the cap (binomial noise)
+    kept = Counter(s for i, s in ROWS if i in set(got))
+    for k, v in kept.items():
+        assert 15 <= v <= 45, (k, v)
+
+
+def test_cap_per_key_under_cap_keeps_all(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, src string")
+    assert cap_per_key(df, "src", "doc_id", 80).count() == 400
+
+
+def test_cap_per_key_exact(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, src string").repartition(6)
+    out = cap_per_key_exact(df, "src", "doc_id", 12, "c")
+    from collections import Counter
+
+    kept = Counter(r["src"] for r in out.collect())
+    assert all(v == 12 for v in kept.values()) and len(kept) == 5
+    # hash-order selection: matches python sort by (prefix, id)
+    by_key = {}
+    for i, s in ROWS:
+        by_key.setdefault(s, []).append(i)
+    exp = sorted(
+        i
+        for s, ids in by_key.items()
+        for i in sorted(ids, key=lambda x: (_pfx(x, "c"), x))[:12]
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == exp
+
+
+def test_mixture_sample_proportions(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, src string")
+    out = mixture_sample(df, "src", "doc_id", {"s0": 0.6, "s1": 0.2, "s2": 0.2})
+    from collections import Counter
+
+    kept = Counter(r["src"] for r in out.collect())
+    assert set(kept) <= {"s0", "s1", "s2"}  # unweighted keys dropped
+    # s0 binds (80/0.6 smallest): kept whole; s1,s2 ~ 80*(0.2/0.6)=26.7
+    assert kept["s0"] == 80
+    assert 13 <= kept["s1"] <= 40 and 13 <= kept["s2"] <= 40
+
+
+def test_mixture_sample_determinism(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, src string")
+    w = {"s0": 0.5, "s3": 0.5}
+    a = sorted(r["doc_id"] for r in mixture_sample(df.repartition(1), "src", "doc_id", w).collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(df.repartition(11), "src", "doc_id", w).collect())
+    assert a == b
+
+
+def test_mixing_validates(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, src string")
+    with pytest.raises(ValueError):
+        cap_per_key(df, "src", "doc_id", 0)
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", "doc_id", {})
