@@ -695,6 +695,13 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cleanvision_spark.operators.vocab import top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_terms(docs, "doc_id", 50)
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -1288,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         "cap_per_source": _q_cap_per_source,
         "mixture_sample": _q_mixture_sample,
+        "top_terms": _q_top_terms,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1753,6 +1761,26 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_oracle(),
         "cap_per_source": _cap_per_source_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
+        "top_terms": rf"""
+            WITH wds AS (
+              SELECT doc_id, lower(u.w) AS term
+              FROM (SELECT doc_id,
+                           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                ELSE string_split_regex(trim(text), '{WS_SQL}')
+                           END AS words
+                    FROM documents),
+                   UNNEST(words) u(w)
+            ),
+            s AS (
+              SELECT term, count(*)::BIGINT AS tf,
+                     count(DISTINCT doc_id)::BIGINT AS df
+              FROM wds GROUP BY term
+            ),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT term, tf, df,
+                   round(ln(n::DOUBLE / df::DOUBLE), 6) AS idf
+            FROM s, nd ORDER BY tf DESC, term LIMIT 50
+        """,
         "dsir_weights": rf"""
             WITH {_DSIR_CTE}
             SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,

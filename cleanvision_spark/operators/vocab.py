@@ -1,0 +1,60 @@
+"""Corpus vocabulary statistics — term frequency, document frequency,
+IDF, and top-k terms. The corpus-analytics companion to the per-doc
+text signals in operators/textqc.py (no reference analog; standard
+corpus profiling ahead of tokenizer training / stopword induction).
+
+Scale shape: one narrow explode of lowered words, one groupBy(term)
+with map-side partial agg (count + count_distinct doc approximated
+exactly per term — the shuffle key is the term string; hot stopwords
+are absorbed by the partial agg), a 1-row doc-count broadcast for IDF,
+and TakeOrderedAndProject for top-k (per-partition heaps, no global
+sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.textqc import _words_array
+
+
+def term_stats(
+    df: DataFrame, id_col: str, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """(term, tf, df, idf): occurrences, distinct-document count, and
+    ln(n_docs / df) rounded to 6, over lowercased whitespace words."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(_words_array(text_col), lambda w: F.lower(w))
+        ).alias("term"),
+    )
+    stats = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("df"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.log(F.col("_n").cast("double") / F.col("df").cast("double")), 6
+            ).alias("idf"),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame, id_col: str, k: int, text_col: str = "text"
+) -> DataFrame:
+    """k heaviest terms by tf (term tie-break — deterministic)."""
+    return (
+        term_stats(df, id_col, text_col)
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(k)
+    )

@@ -1,0 +1,52 @@
+"""term_stats / top_terms vs an independent Counter-based path."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from cleanvision_spark.operators.vocab import term_stats, top_terms
+
+ROWS = [
+    (1, "the Cat sat on the mat"),
+    (2, "the dog SAT"),
+    (3, ""),
+    (4, "cat cat cat"),
+]
+
+
+def _py_stats(rows):
+    tf, dfc = Counter(), Counter()
+    n = len(rows)
+    for _id, t in rows:
+        words = t.strip().lower().split()
+        tf.update(words)
+        dfc.update(set(words))
+    return {
+        w: (tf[w], dfc[w], round(math.log(n / dfc[w]), 6)) for w in tf
+    }
+
+
+def test_term_stats_vs_python(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string").repartition(3)
+    got = {
+        r["term"]: (r["tf"], r["df"], r["idf"])
+        for r in term_stats(df, "doc_id").collect()
+    }
+    assert got == _py_stats(ROWS)
+
+
+def test_term_stats_min_df(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {r["term"] for r in term_stats(df, "doc_id", min_df=2).collect()}
+    assert got == {w for w, (_, d, _i) in _py_stats(ROWS).items() if d >= 2}
+
+
+def test_top_terms(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = [(r["term"], r["tf"]) for r in top_terms(df, "doc_id", 3).collect()]
+    exp = sorted(
+        ((w, s[0]) for w, s in _py_stats(ROWS).items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert got == exp
