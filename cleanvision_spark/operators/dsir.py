@@ -72,16 +72,29 @@ def dsir_fit(
     n_buckets = 16**BUCKET_HEX
     tgt = _bucket_counts(target_df, text_col, ns, salt)
     raw = _bucket_counts(raw_df, text_col, ns, salt)
-    joined = tgt.withColumnRenamed("cnt", "cnt_t").join(
-        raw.withColumnRenamed("cnt", "cnt_r"), "bucket", "full"
+    # full-outer alignment of the two count tables as union+groupBy:
+    # one map-side-combined shuffle on the 3-char keys instead of a
+    # full-outer join (which cannot broadcast and plans as SortMergeJoin)
+    joined = (
+        tgt.select(
+            "bucket",
+            F.col("cnt").alias("cnt_t"),
+            F.lit(0).cast("long").alias("cnt_r"),
+        )
+        .union(
+            raw.select(
+                "bucket", F.lit(0).cast("long").alias("cnt_t"), F.col("cnt")
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.sum("cnt_t").alias("cnt_t"), F.sum("cnt_r").alias("cnt_r"))
     )
     totals = joined.agg(
-        F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("tot_t"),
-        F.coalesce(F.sum("cnt_r"), F.lit(0)).alias("tot_r"),
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
     )
     j = joined.crossJoin(F.broadcast(totals))
-    ct = F.coalesce(F.col("cnt_t"), F.lit(0)).cast("double") + F.lit(alpha)
-    cr = F.coalesce(F.col("cnt_r"), F.lit(0)).cast("double") + F.lit(alpha)
+    ct = F.col("cnt_t").cast("double") + F.lit(alpha)
+    cr = F.col("cnt_r").cast("double") + F.lit(alpha)
     tt = F.col("tot_t").cast("double") + F.lit(alpha * n_buckets)
     tr = F.col("tot_r").cast("double") + F.lit(alpha * n_buckets)
     return j.select(

@@ -175,6 +175,45 @@ def main() -> None:
     ))
     release_tracked()
 
+    sections.append((
+        "Sequence packing (two-phase prefix sum)",
+        "Within-bucket window is PARTITIONED (parallel); the only "
+        "unpartitioned window runs over the tiny per-bucket totals table; "
+        "bucket offsets broadcast back — no corpus-wide single-task window.",
+        metrics(e.queries()["pack_sequences"](spark, SF)),
+    ))
+
+    sections.append((
+        "Segment-level dedup (keep-first)",
+        "posexplode is narrow; repeated-segment detection groups on an "
+        "8-byte xxhash64 key with map-side combine; reassembly collects "
+        "per-DOCUMENT (pos, seg) structs only.",
+        metrics(e.queries()["segment_dedup_first"](spark, SF)),
+    ))
+
+    sections.append((
+        "DSIR weights (broadcast ratio model)",
+        "The 4096-bucket ratio table broadcasts into the gram explode; "
+        "per-doc sum is one partial-agg groupBy; no driver-side collect "
+        "anywhere in the fit or scoring path.",
+        metrics(e.queries()["dsir_weights"](spark, SF)),
+    ))
+
+    sections.append((
+        "Per-source cap (hash-quota, no window)",
+        "The per-key count table broadcasts; selection is a codegen'd "
+        "md5-prefix comparison per row — zero window functions, so a hot "
+        "domain never becomes a straggler task.",
+        metrics(e.queries()["cap_per_source"](spark, SF)),
+    ))
+
+    sections.append((
+        "Top-k corpus terms",
+        "Term-keyed groupBy (map-side combined) + one-row doc-count "
+        "broadcast + TakeOrderedAndProject for the k heaviest terms.",
+        metrics(e.queries()["top_terms"](spark, SF)),
+    ))
+
     lines = [
         "# Physical-plan audit (generated)",
         "",
