@@ -695,6 +695,35 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def _q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build: quality filter (>=0.71) →
+    normalized-dedup keep-one → 3-gram decontamination vs the
+    doc_id%97==3 slice → per-source cap 20 → 80/10/10 split → pack the
+    train split into 2048-token sequences. The oracle replays every
+    stage as chained CTEs."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.plans.corpus_build import build_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    out = build_corpus(
+        docs,
+        min_quality=0.71,
+        dedup="normalized",
+        benchmark_df=bench,
+        decontaminate_n=3,
+        cap=("source", 20),
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        seq_len=2048,
+        salt="cb3",
+    )
+    return out.select(
+        "doc_id", "source", "quality_score", "split",
+        "n_tokens", "seq_id", "seq_offset",
+    )
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.vocab import top_terms
 
@@ -1296,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": _q_cap_per_source,
         "mixture_sample": _q_mixture_sample,
         "top_terms": _q_top_terms,
+        "corpus_build": _q_corpus_build,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1403,6 +1433,127 @@ def _mixture_sample_oracle() -> str:
         FROM documents d JOIN cw USING (source), n
         WHERE ('0x' || substring(md5('m3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           < CAST(floor(least(ntot * w / knt::DOUBLE, 1.0) * {_QUOTA_SPACE_SQL}) AS BIGINT)
+    """
+
+
+def _corpus_build_oracle() -> str:
+    """chained-CTE replay of plans/corpus_build.build_corpus with the
+    _q_corpus_build parameters; split cutoffs and hash salts come from
+    the same helpers the Spark side uses."""
+    from cleanvision_spark.operators.sampling import duckdb_hash_prefix, split_cutoffs
+    from cleanvision_spark.operators.textqc import STOPWORDS
+
+    stop_sql = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+    n_stop = len(STOPWORDS)
+    prefix = duckdb_hash_prefix("doc_id", salt="cb3/split")
+    cutoffs = split_cutoffs({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens = "".join(
+        f"WHEN {prefix} < '{cut}' THEN '{name}' " for name, cut in cutoffs[:-1]
+    )
+    return f"""
+        WITH qt AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(string_split_regex(trim(text), '{WS_SQL}')) END AS n_tokens,
+                 length(list_intersect(
+                   list_distinct(string_split_regex(lower(trim(text)), '{WS_SQL}')),
+                   {stop_sql})) AS n_stop,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+          FROM documents
+        ),
+        qs AS (
+          SELECT doc_id,
+            CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE n_stop::DOUBLE / least(n_tokens, {n_stop})::DOUBLE END AS stop_ratio,
+            CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE n_chars::DOUBLE / n_tokens::DOUBLE END AS mean_word_len,
+            CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE n_alpha::DOUBLE / n_chars::DOUBLE END AS alpha_ratio,
+            least(n_tokens::DOUBLE / 20.0, 1.0) AS len_score
+          FROM qt
+        ),
+        q AS (
+          SELECT doc_id,
+                 round((len_score
+                        + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0
+                               THEN 1.0 ELSE 0.2 END
+                        + stop_ratio + alpha_ratio) / 4.0, 6) AS quality_score
+          FROM qs
+        ),
+        k0 AS (
+          SELECT d.doc_id, d.source, d.text, q.quality_score
+          FROM documents d JOIN q USING (doc_id)
+          WHERE q.quality_score >= 0.71
+        ),
+        nsh AS (
+          SELECT doc_id,
+                 sha256(lower(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')))) AS nsha
+          FROM k0
+        ),
+        canon AS (SELECT nsha, min(doc_id) AS cid FROM nsh GROUP BY 1),
+        k1 AS (
+          SELECT k0.* FROM k0
+          JOIN nsh USING (doc_id)
+          JOIN canon ON nsh.nsha = canon.nsha AND k0.doc_id = canon.cid
+        ),
+        bw AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '{WS_SQL}') END AS words
+          FROM documents WHERE doc_id % 97 = 3
+        ),
+        bg AS (
+          SELECT DISTINCT array_to_string(words[i:i+2], ' ') AS gram
+          FROM bw, UNNEST(range(1, greatest(len(words) - 2, 0) + 1)) u(i)
+        ),
+        kw AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '{WS_SQL}') END AS words
+          FROM k1
+        ),
+        kg AS (
+          SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+          FROM kw, UNNEST(range(1, greatest(len(words) - 2, 0) + 1)) u(i)
+        ),
+        cont AS (SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gram)),
+        k2 AS (
+          SELECT * FROM k1
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        ),
+        cc AS (SELECT source, count(*)::BIGINT AS knt FROM k2 GROUP BY source),
+        k3 AS (
+          SELECT k2.* FROM k2 JOIN cc USING (source)
+          WHERE knt <= 20 OR
+            ('0x' || substring(md5('cb3/cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              < CAST(floor(least(20.0 / knt::DOUBLE, 1.0) * {_QUOTA_SPACE_SQL}) AS BIGINT)
+        ),
+        spl AS (
+          SELECT k3.*,
+                 CASE {whens}ELSE '{cutoffs[-1][0]}' END AS split
+          FROM k3
+        ),
+        tr AS (
+          SELECT doc_id,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '{WS_SQL}'))
+                  END)::BIGINT AS n_tokens
+          FROM spl WHERE split = 'train'
+        ),
+        pk AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS cum
+          FROM tr
+        )
+        SELECT s.doc_id, s.source, s.quality_score, s.split,
+               p.n_tokens,
+               (p.cum // 2048)::BIGINT AS seq_id,
+               (p.cum % 2048)::BIGINT AS seq_offset
+        FROM spl s LEFT JOIN pk p USING (doc_id)
     """
 
 
@@ -1761,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_oracle(),
         "cap_per_source": _cap_per_source_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
+        "corpus_build": _corpus_build_oracle(),
         "top_terms": rf"""
             WITH wds AS (
               SELECT doc_id, lower(u.w) AS term

@@ -169,6 +169,23 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
 
     t("dsir_weights", _dsir_run)
 
+    def _corpus_build_run():
+        from cleanvision_spark.plans.corpus_build import build_corpus
+
+        return build_corpus(
+            docs,
+            min_quality=0.71,
+            dedup="normalized",
+            benchmark_df=docs.filter(F.col("doc_id") % 97 == 3),
+            decontaminate_n=3,
+            cap=("source", 200),
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+            seq_len=2048,
+            salt="cb3",
+        ).count()
+
+    t("corpus_build", _corpus_build_run)
+
     t(
         "pack_sequences",
         lambda: pack_sequences(

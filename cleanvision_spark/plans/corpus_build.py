@@ -1,0 +1,105 @@
+"""End-to-end training-corpus build — the composition the individual
+operators exist for: quality filter → dedup keep-one → benchmark
+decontamination → per-source cap → train/val/test split → sequence
+packing. One lazy Catalyst plan per stage boundary, every stage
+deterministic at any parallelism, so the same corpus comes out on any
+cluster.
+
+Stage inventory (each documented for scale in docs/SCALE.md):
+  quality      pure-expression scores, scan speed
+  dedup        groupBy(norm-sha)+join-back (normalized) or MinHash-LSH
+  decontam     narrow gram explode + broadcast benchmark join
+  cap          hash-quota filter against a broadcast count table
+  split        codegen'd md5-prefix CASE, no shuffle
+  pack         two-phase distributed prefix sum over the train split
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEDUP_MODES = ("none", "normalized", "minhash")
+
+
+def build_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    dedup: str = "normalized",
+    benchmark_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    cap: tuple[str, int] | None = None,
+    splits: dict[str, float] | None = None,
+    seq_len: int | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """Returns the KEPT documents with ``quality_score``, optional
+    ``split``, and — when ``seq_len`` is set — ``n_tokens`` /
+    ``seq_id`` / ``seq_offset`` for the packed split (the FIRST name in
+    ``splits``, i.e. train; other splits carry nulls)."""
+    from cleanvision_spark.operators.textqc import quality_scores
+
+    if dedup not in DEDUP_MODES:
+        raise ValueError(f"dedup must be one of {DEDUP_MODES}, got {dedup!r}")
+
+    q = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
+    out = docs.join(q, id_col).filter(F.col("quality_score") >= min_quality)
+
+    if dedup == "normalized":
+        from cleanvision_spark.operators.dedup import dedup_normalized
+
+        keep = (
+            dedup_normalized(out, id_col, text_col)
+            .filter(F.col("is_canonical"))
+            .select(id_col)
+        )
+        out = out.join(keep, id_col)
+    elif dedup == "minhash":
+        from cleanvision_spark.operators.dedup import dedup_minhash
+
+        keep = dedup_minhash(out, id_col, text_col).select(id_col)
+        out = out.join(keep, id_col)
+
+    if benchmark_df is not None:
+        from cleanvision_spark.operators.decontaminate import decontaminate
+
+        flags = decontaminate(
+            out, benchmark_df, id_col, text_col, n=decontaminate_n
+        ).select(id_col, "is_contaminated")
+        out = out.join(flags, id_col).filter(~F.col("is_contaminated")).drop(
+            "is_contaminated"
+        )
+
+    if cap is not None:
+        from cleanvision_spark.operators.mixing import cap_per_key
+
+        key_col, max_rows = cap
+        # per-stage salt: reusing one salt across the cap filter and the
+        # split ranges would correlate them (cap survivors have LOW hash
+        # prefixes, which would all fall into the first split's range)
+        out = cap_per_key(out, key_col, id_col, max_rows, salt=salt + "/cap")
+
+    if splits:
+        from cleanvision_spark.operators.sampling import split_assign
+
+        out = split_assign(out, id_col, splits, salt=salt + "/split")
+
+    if seq_len is not None:
+        from cleanvision_spark.operators.packing import pack_sequences
+        from cleanvision_spark.operators.textqc import _words_array
+
+        packable = (
+            out.filter(F.col("split") == next(iter(splits)))
+            if splits
+            else out
+        )
+        toks = packable.select(
+            F.col(id_col),
+            F.size(_words_array(text_col)).cast("long").alias("n_tokens"),
+        )
+        packed = pack_sequences(toks, id_col, "n_tokens", seq_len)
+        out = out.join(packed, id_col, "left")
+
+    return out

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Production entry point for the end-to-end corpus build:
+quality filter -> dedup keep-one -> decontamination -> per-source cap
+-> train/val/test split -> train-split sequence packing.
+
+Example:
+  python scripts/run_corpus_build.py \\
+      --input /root/testdata/sf0.1/documents.parquet \\
+      --output /tmp/corpus_out --min-quality 0.7 --dedup normalized \\
+      --benchmark /path/to/benchmark.parquet --cap source:100000 \\
+      --splits '{"train":0.9,"val":0.05,"test":0.05}' --seq-len 2048
+
+Output is written partitioned by split (when splits are requested) so
+downstream training jobs partition-prune their split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir/file")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--dedup", default="normalized",
+                    choices=["none", "normalized", "minhash"])
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark docs to decontaminate against")
+    ap.add_argument("--decontaminate-n", type=int, default=13)
+    ap.add_argument("--cap", default=None, help="key_col:max_rows_per_key")
+    ap.add_argument("--splits", default=None, help='JSON, e.g. {"train":0.9,...}')
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--salt", default="corpus")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from cleanvision_spark.plans.corpus_build import build_corpus
+    from cleanvision_spark.session import get_spark
+
+    spark = get_spark("corpus_build", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    cap = None
+    if args.cap:
+        key, _, n = args.cap.partition(":")
+        cap = (key, int(n))
+    splits = json.loads(args.splits) if args.splits else None
+
+    out = build_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        dedup=args.dedup,
+        benchmark_df=bench,
+        decontaminate_n=args.decontaminate_n,
+        cap=cap,
+        splits=splits,
+        seq_len=args.seq_len,
+        salt=args.salt,
+    )
+    writer = out.write.mode("overwrite")
+    if splits:
+        writer = writer.partitionBy("split")
+    writer.parquet(args.output)
+    kept = spark.read.parquet(args.output).count()
+    print(json.dumps({"input": args.input, "output": args.output, "kept": kept}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""build_corpus composition: stage effects, packed-split nulls,
+determinism. Exact values are covered by the corpus_build driver
+query's DuckDB oracle (test_oracle_smoke)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleanvision_spark.plans.corpus_build import build_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(120):
+        # a repeated text every 4th row plants normalized dup groups
+        body = f"doc {i % 30} body with several plain words here"
+        rows.append((i, body, f"s{i % 4}"))
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_build_corpus_stages(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = build_corpus(
+        docs,
+        min_quality=0.0,
+        dedup="normalized",
+        benchmark_df=bench,
+        decontaminate_n=3,
+        cap=("src", 100),
+        splits={"train": 0.8, "val": 0.2},
+        seq_len=16,
+        salt="t",
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    # dedup keep-one: 30 distinct texts; decontamination then drops the
+    # canonical docs whose text matches a benchmark doc's
+    assert len(ids) <= 30
+    for r in out:
+        assert r["quality_score"] is not None
+        assert r["split"] in ("train", "val")
+        if r["split"] == "train":
+            assert r["seq_id"] is not None and 0 <= r["seq_offset"] < 16
+        else:
+            assert r["seq_id"] is None
+
+
+def test_build_corpus_no_options(spark, docs):
+    out = build_corpus(docs, dedup="none")
+    assert out.count() == 120
+    assert "split" not in out.columns and "seq_id" not in out.columns
+
+
+def test_build_corpus_minhash_mode(spark, docs):
+    from cleanvision_spark.cache import release_tracked
+
+    out = build_corpus(docs, dedup="minhash")
+    assert 0 < out.count() <= 120
+    release_tracked()
+
+
+def test_build_corpus_determinism(spark, docs):
+    kw = dict(
+        min_quality=0.0,
+        dedup="normalized",
+        splits={"train": 0.9, "val": 0.1},
+        seq_len=32,
+        salt="d",
+    )
+    a = sorted(map(tuple, build_corpus(docs.repartition(1), **kw).collect()))
+    b = sorted(map(tuple, build_corpus(docs.repartition(13), **kw).collect()))
+    assert a == b
+
+
+def test_build_corpus_bad_mode(spark, docs):
+    with pytest.raises(ValueError):
+        build_corpus(docs, dedup="fuzzy")
