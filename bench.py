@@ -170,9 +170,10 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
     t("dsir_weights", _dsir_run)
 
     def _corpus_build_run():
+        from cleanvision_spark.cache import release_tracked
         from cleanvision_spark.plans.corpus_build import build_corpus
 
-        return build_corpus(
+        n = build_corpus(
             docs,
             min_quality=0.71,
             dedup="normalized",
@@ -183,6 +184,8 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
             seq_len=2048,
             salt="cb3",
         ).count()
+        release_tracked()
+        return n
 
     t("corpus_build", _corpus_build_run)
 

@@ -24,10 +24,20 @@ _TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(
-    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    eager: bool = False,
 ) -> DataFrame:
+    """``eager=True`` materializes the cache immediately (one count
+    job). Use it when the persisted plan feeds branches that Spark may
+    schedule as CONCURRENT stages of one job: until the cache is
+    populated, parallel stages each compute the full input expression
+    (measured 2.5x on the 2M-row corpus build); an eager count
+    serializes that first computation."""
     out = df.persist(level)
     _TRACKED.append(out)
+    if eager:
+        out.count()
     return out
 
 

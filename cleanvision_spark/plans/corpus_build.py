@@ -1,17 +1,26 @@
 """End-to-end training-corpus build — the composition the individual
 operators exist for: quality filter → dedup keep-one → benchmark
 decontamination → per-source cap → train/val/test split → sequence
-packing. One lazy Catalyst plan per stage boundary, every stage
-deterministic at any parallelism, so the same corpus comes out on any
-cluster.
+packing. Every stage deterministic at any parallelism, so the same
+corpus comes out on any cluster.
 
-Stage inventory (each documented for scale in docs/SCALE.md):
-  quality      pure-expression scores, scan speed
-  dedup        groupBy(norm-sha)+join-back (normalized) or MinHash-LSH
-  decontam     narrow gram explode + broadcast benchmark join
-  cap          hash-quota filter against a broadcast count table
-  split        codegen'd md5-prefix CASE, no shuffle
-  pack         two-phase distributed prefix sum over the train split
+Plan shape (the 2M-row stress test drove this design — the naive
+chain of row-preserving stage outputs self-joined the full-width
+corpus four times and recomputed the quality regexes per stage):
+
+- quality score and the dedup hash are inline COLUMN expressions on
+  one base projection — no join, no recompute;
+- the base is persisted ONCE (cache.tracked_persist) and every
+  aggregate stage reads the cache;
+- per-stage side tables are all SMALL (canonical-id per duplicate
+  group keyed by an 8-byte hash; contaminated-id hits via
+  contamination_hits — never the row-preserving decontaminate()
+  output; per-source counts; per-bucket packing offsets) and join
+  back broadcast/anti;
+- split is a codegen'd md5-prefix CASE, zero shuffle.
+
+Callers that keep the result long-term should
+cache.release_tracked() when done (the driver contract does).
 """
 
 from __future__ import annotations
@@ -39,23 +48,37 @@ def build_corpus(
     ``split``, and — when ``seq_len`` is set — ``n_tokens`` /
     ``seq_id`` / ``seq_offset`` for the packed split (the FIRST name in
     ``splits``, i.e. train; other splits carry nulls)."""
-    from cleanvision_spark.operators.textqc import quality_scores
+    from cleanvision_spark.cache import tracked_persist
+    from cleanvision_spark.operators.textqc import with_quality_score
 
     if dedup not in DEDUP_MODES:
         raise ValueError(f"dedup must be one of {DEDUP_MODES}, got {dedup!r}")
 
-    q = quality_scores(docs, id_col, text_col).select(id_col, "quality_score")
-    out = docs.join(q, id_col).filter(F.col("quality_score") >= min_quality)
+    # ONE projection computes every expensive per-row expression, and
+    # it is persisted BEFORE the quality filter: a filter on the raw
+    # expression would re-evaluate it (predicate and project are
+    # separate operators; codegen CSE does not span them, and the
+    # when-guards defeat it within one), and every later stage would
+    # re-derive it again. Filtering the CACHED column is free.
+    base = with_quality_score(docs, text_col)
+    if dedup == "normalized":
+        from cleanvision_spark.operators.dedup import normalized_text
+
+        # 8-byte group key (xxhash64 of the normalized sha) keeps the
+        # dedup shuffle narrow; collision odds 2^-64 per pair
+        base = base.withColumn(
+            "_nh", F.xxhash64(F.sha2(normalized_text(text_col), 256))
+        )
+    base = tracked_persist(base, eager=True)
+    out = base.filter(F.col("quality_score") >= min_quality)
 
     if dedup == "normalized":
-        from cleanvision_spark.operators.dedup import dedup_normalized
-
-        keep = (
-            dedup_normalized(out, id_col, text_col)
-            .filter(F.col("is_canonical"))
-            .select(id_col)
+        canon = out.groupBy("_nh").agg(F.min(id_col).alias("_cid"))
+        out = (
+            out.join(canon, "_nh")
+            .filter(F.col(id_col) == F.col("_cid"))
+            .drop("_nh", "_cid")
         )
-        out = out.join(keep, id_col)
     elif dedup == "minhash":
         from cleanvision_spark.operators.dedup import dedup_minhash
 
@@ -63,14 +86,14 @@ def build_corpus(
         out = out.join(keep, id_col)
 
     if benchmark_df is not None:
-        from cleanvision_spark.operators.decontaminate import decontaminate
+        from cleanvision_spark.operators.decontaminate import contamination_hits
 
-        flags = decontaminate(
+        hits = contamination_hits(
             out, benchmark_df, id_col, text_col, n=decontaminate_n
-        ).select(id_col, "is_contaminated")
-        out = out.join(flags, id_col).filter(~F.col("is_contaminated")).drop(
-            "is_contaminated"
-        )
+        ).select(id_col)
+        # persist: the cap's count table, the packing branch, and the
+        # final join would each re-run the gram explode otherwise
+        out = tracked_persist(out.join(hits, id_col, "left_anti"), eager=True)
 
     if cap is not None:
         from cleanvision_spark.operators.mixing import cap_per_key
