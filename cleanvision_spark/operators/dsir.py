@@ -30,7 +30,6 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cleanvision_spark.operators.textqc import _words_array, word_ngrams
 
 BUCKET_HEX = 3  # 16^3 = 4096 feature buckets
 _GUMBEL_HEX = 13
@@ -44,16 +43,44 @@ def gram_bucket(gram: Column, salt: str = "dsir") -> Column:
     )
 
 
-def _doc_buckets(text_col: str, ns: tuple[int, ...], salt: str) -> Column:
-    """array of bucket ids, one per gram occurrence (all n in ns)."""
-    words = F.transform(_words_array(text_col), lambda w: F.lower(w))
-    grams = F.concat(*[word_ngrams(words, n) for n in ns])
-    return F.transform(grams, lambda g: gram_bucket(g, salt))
+def _gram_rows(
+    df: DataFrame, keep: list[str], text_col: str, ns, salt: str
+) -> DataFrame:
+    """one exploded row per gram occurrence: (keep..., bucket).
+
+    Unigrams explode the word array directly; n>1 uses the JVM
+    ml.feature.NGram transformer; the bucket md5 is computed per
+    EXPLODED row — all codegen'd, no interpreted higher-order
+    functions (the transform/array_join path is 5-6x slower at volume;
+    see docs/SCALE.md). Lowercasing happens on the whole text before
+    the split — identical tokens for the ASCII corpora this targets."""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    lowered = F.lower(F.trim(F.col(text_col)))
+    words = F.when(
+        F.length(lowered) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(lowered, WS_RUN_RE))
+    wdf = df.select(*keep, words.alias("_w"))
+    parts = []
+    for n in ns:
+        if n == 1:
+            parts.append(wdf.select(*keep, F.explode("_w").alias("_gram")))
+        else:
+            from pyspark.ml.feature import NGram
+
+            ng = NGram(n=n, inputCol="_w", outputCol="_g")
+            parts.append(
+                ng.transform(wdf).select(*keep, F.explode("_g").alias("_gram"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*keep, gram_bucket(F.col("_gram"), salt).alias("bucket"))
 
 
 def _bucket_counts(df: DataFrame, text_col: str, ns, salt) -> DataFrame:
     return (
-        df.select(F.explode(_doc_buckets(text_col, ns, salt)).alias("bucket"))
+        _gram_rows(df, [], text_col, ns, salt)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -113,21 +140,25 @@ def dsir_weights(
     """(id, n_grams, dsir_logratio): summed bucket log-ratio over the
     document's gram occurrences. Row-preserving; gramless docs score
     0.0."""
-    ex = df.select(
-        F.col(id_col),
-        F.explode_outer(_doc_buckets(text_col, ns, salt)).alias("bucket"),
-    )
+    ex = _gram_rows(df, [id_col], text_col, ns, salt)
     per_doc = (
         ex.join(F.broadcast(ratios), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.col("bucket")).alias("n_grams"),
-            F.round(
-                F.coalesce(F.sum("log_ratio"), F.lit(0.0)), 6
-            ).alias("dsir_logratio"),
+            F.sum("log_ratio").alias("_s"),
         )
     )
-    return per_doc
+    # join back for row preservation: gramless docs score 0.0
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("dsir_logratio"),
+        )
+    )
 
 
 def gumbel_noise(key: Column | str, salt: str = "") -> Column:
