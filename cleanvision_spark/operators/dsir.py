@@ -140,25 +140,33 @@ def dsir_weights(
     """(id, n_grams, dsir_logratio): summed bucket log-ratio over the
     document's gram occurrences. Row-preserving; gramless docs score
     0.0."""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
     ex = _gram_rows(df, [id_col], text_col, ns, salt)
     per_doc = (
         ex.join(F.broadcast(ratios), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.col("bucket")).alias("n_grams"),
-            F.sum("log_ratio").alias("_s"),
+            F.count(F.col("bucket")).cast("long").alias("n_grams"),
+            F.round(F.coalesce(F.sum("log_ratio"), F.lit(0.0)), 6).alias(
+                "dsir_logratio"
+            ),
         )
     )
-    # join back for row preservation: gramless docs score 0.0
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("dsir_logratio"),
-        )
+    # row preservation WITHOUT a full-width join-back (that planned as a
+    # sort-merge join): docs that produce zero grams are exactly those
+    # with fewer than min(ns) words — a cheap filter, unioned in as
+    # zero-score rows
+    lowered = F.trim(F.col(text_col))
+    n_words = F.when(F.length(lowered) == 0, F.lit(0)).otherwise(
+        F.size(F.split(lowered, WS_RUN_RE))
     )
+    gramless = df.filter(n_words < min(ns)).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0.0).alias("dsir_logratio"),
+    )
+    return per_doc.unionByName(gramless)
 
 
 def gumbel_noise(key: Column | str, salt: str = "") -> Column:
