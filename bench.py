@@ -279,10 +279,15 @@ def main() -> None:
 
 
 def scaling_child(cores: int, replicate: int) -> None:
-    """Run ONLY the full pipeline job, print files/sec (one line)."""
+    """Run the full pipeline job AND the end-to-end corpus build,
+    print files/sec for both (one line)."""
     global CPUS
     CPUS = cores
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.cache import release_tracked
     from cleanvision_spark.config import merge_params
+    from cleanvision_spark.plans.corpus_build import build_corpus
     from cleanvision_spark.plans.pipeline import quality_filter
 
     spark = _spark(cores)
@@ -291,8 +296,53 @@ def scaling_child(cores: int, replicate: int) -> None:
     t0 = time.monotonic()
     n = _force(quality_filter(corpus, merge_params(None)))
     dt = time.monotonic() - t0
+    release_tracked()
+
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    docs = (
+        docs0.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        # a replicate crossJoin collapses to the small side's single
+        # partition — repartition or every narrow stage runs one task
+        .repartition(cores * 2)
+        .persist()
+    )
+    n_cb = docs.count()
+    t0 = time.monotonic()
+    build_corpus(
+        docs,
+        min_quality=0.71,
+        dedup="normalized",
+        benchmark_df=docs.filter(F.col("doc_id") % 997 == 3),
+        decontaminate_n=13,
+        cap=("source", 50_000),
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        seq_len=2048,
+        salt="scal",
+    ).select(F.count(F.lit(1))).collect()
+    dt_cb = time.monotonic() - t0
+    release_tracked()
     spark.stop()
-    print(json.dumps({"cores": cores, "rows": n, "sec": round(dt, 3), "files_per_sec": round(n / dt, 1)}))
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "rows": n,
+                "sec": round(dt, 3),
+                "files_per_sec": round(n / dt, 1),
+                "cb_rows": n_cb,
+                "cb_sec": round(dt_cb, 3),
+                "cb_rows_per_sec": round(n_cb / dt_cb, 1),
+            }
+        )
+    )
 
 
 def scaling() -> None:
@@ -338,10 +388,20 @@ def scaling() -> None:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
         prev = results.get(cores)
-        if prev is None or res["sec"] < prev["sec"]:
+        if prev is None:
             results[cores] = res
+        else:
+            # best-of-2 independently per metric
+            if res["sec"] < prev["sec"]:
+                prev.update({k: res[k] for k in ("rows", "sec", "files_per_sec")})
+            if res["cb_sec"] < prev["cb_sec"]:
+                prev.update(
+                    {k: res[k] for k in ("cb_rows", "cb_sec", "cb_rows_per_sec")}
+                )
     thr_lo, thr_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    cb_lo, cb_hi = results[lo]["cb_rows_per_sec"], results[hi]["cb_rows_per_sec"]
+    cb_eff = (cb_hi / cb_lo) / (hi / lo)
     print(
         json.dumps(
             {
@@ -353,6 +413,9 @@ def scaling() -> None:
                     f"pipeline_local{hi}_files_per_sec": thr_hi,
                     f"local{lo}_sec": results[lo]["sec"],
                     f"local{hi}_sec": results[hi]["sec"],
+                    f"corpus_build_local{lo}_rows_per_sec": cb_lo,
+                    f"corpus_build_local{hi}_rows_per_sec": cb_hi,
+                    "corpus_build_scaling_efficiency": round(cb_eff, 3),
                 },
                 "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
                 "rows": results[lo]["rows"],
