@@ -744,6 +744,17 @@ def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_per_source_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact windowed per-key cap (small-key variant): 12 rows per
+    source, chosen in md5-prefix hash order."""
+    from cleanvision_spark.operators.mixing import cap_per_key_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_key_exact(docs, "source", "doc_id", 12, salt="c3").select(
+        "doc_id", "source"
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.mixing import mixture_sample
 
@@ -1323,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
         "cap_per_source": _q_cap_per_source,
+        "cap_per_source_exact": _q_cap_per_source_exact,
         "mixture_sample": _q_mixture_sample,
         "top_terms": _q_top_terms,
         "corpus_build": _q_corpus_build,
@@ -1911,6 +1923,18 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle(),
         "split_assign": _split_assign_oracle(),
         "cap_per_source": _cap_per_source_oracle(),
+        "cap_per_source_exact": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5('c3:' || CAST(doc_id AS VARCHAR)), 1, 15),
+                                doc_id
+                     ) AS rn
+              FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 12
+        """,
         "mixture_sample": _mixture_sample_oracle(),
         "corpus_build": _corpus_build_oracle(),
         "top_terms": rf"""

@@ -56,7 +56,7 @@ def _gram_rows(
     the split — identical tokens for the ASCII corpora this targets."""
     from cleanvision_spark.functions.text_stats import WS_RUN_RE
 
-    lowered = F.lower(F.trim(F.col(text_col)))
+    lowered = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     words = F.when(
         F.length(lowered) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(lowered, WS_RUN_RE))
@@ -94,7 +94,11 @@ def dsir_fit(
     salt: str = "dsir",
     alpha: float = 1.0,
 ) -> DataFrame:
-    """(bucket, log_ratio) — a <=4096-row table; broadcast it into
+    """(bucket, log_ratio) — a DENSE 16^3-row table covering every
+    possible bucket, so scoring a document whose gram bucket was unseen
+    at fit time applies the smoothed default ratio instead of silently
+    contributing 0 (standard DSIR fits on a SAMPLE and scores the full
+    corpus, so out-of-fit buckets are normal). Broadcast it into
     dsir_weights. alpha is the Laplace smoothing pseudo-count."""
     n_buckets = 16**BUCKET_HEX
     tgt = _bucket_counts(target_df, text_col, ns, salt)
@@ -119,9 +123,14 @@ def dsir_fit(
     totals = joined.agg(
         F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
     )
-    j = joined.crossJoin(F.broadcast(totals))
-    ct = F.col("cnt_t").cast("double") + F.lit(alpha)
-    cr = F.col("cnt_r").cast("double") + F.lit(alpha)
+    dense = (
+        target_df.sparkSession.range(n_buckets)
+        .select(F.format_string(f"%0{BUCKET_HEX}x", F.col("id")).alias("bucket"))
+        .join(joined, "bucket", "left")
+    )
+    j = dense.crossJoin(F.broadcast(totals))
+    ct = F.coalesce(F.col("cnt_t"), F.lit(0)).cast("double") + F.lit(alpha)
+    cr = F.coalesce(F.col("cnt_r"), F.lit(0)).cast("double") + F.lit(alpha)
     tt = F.col("tot_t").cast("double") + F.lit(alpha * n_buckets)
     tr = F.col("tot_r").cast("double") + F.lit(alpha * n_buckets)
     return j.select(
@@ -157,7 +166,7 @@ def dsir_weights(
     # sort-merge join): docs that produce zero grams are exactly those
     # with fewer than min(ns) words — a cheap filter, unioned in as
     # zero-score rows
-    lowered = F.trim(F.col(text_col))
+    lowered = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     n_words = F.when(F.length(lowered) == 0, F.lit(0)).otherwise(
         F.size(F.split(lowered, WS_RUN_RE))
     )

@@ -57,15 +57,22 @@ def cap_per_key(
 ) -> DataFrame:
     """Keep ~max_rows_per_key rows per key value (hash-quota: binomial
     around the cap, deterministic, skew-free). Keys at or under the cap
-    are kept whole."""
+    are kept whole. A NULL key is its own group and is capped like any
+    other (the join is null-safe — a plain equi-join would silently
+    DROP every null-key row)."""
     if max_rows_per_key <= 0:
         raise ValueError("max_rows_per_key must be positive")
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_knt"))
     frac = F.lit(float(max_rows_per_key)) / F.col("_knt").cast("double")
+    joined = df.join(
+        F.broadcast(counts.withColumnRenamed(key_col, "_capk")),
+        F.col(key_col).eqNullSafe(F.col("_capk")),
+    )
     return (
-        df.join(F.broadcast(counts), key_col)
-        .filter((F.col("_knt") <= max_rows_per_key) | _quota_filter(frac, id_col, salt))
-        .drop("_knt")
+        joined.filter(
+            (F.col("_knt") <= max_rows_per_key) | _quota_filter(frac, id_col, salt)
+        )
+        .drop("_knt", "_capk")
     )
 
 
@@ -102,7 +109,8 @@ def mixture_sample(
     """Resample to target per-key proportions, keeping as much data as
     feasible: the binding key (smallest count_k / weight_k) is kept
     whole and every other key is hash-quota'd down so the kept corpus
-    matches ``weights``. Keys absent from ``weights`` are dropped.
+    matches ``weights``. Keys absent from ``weights`` — including NULL
+    keys — are dropped (they have no target proportion).
     Deterministic; ~binomial noise around each key's target."""
     total_w = sum(weights.values())
     if total_w <= 0:

@@ -49,9 +49,13 @@ def pack_sequences(
     b = F.floor(idc / F.lit(bucket_size)).alias("_bucket")
     base = df.select(idc.alias(id_col), tok.alias("n_tokens"), b)
 
+    # (id, n_tokens) order: with a bare ORDER BY id, two rows sharing an
+    # id would take partition-dependent positions (non-deterministic
+    # offsets); adding the token count makes ties identical rows, whose
+    # mutual order cannot change the output SET
     w_in = (
         Window.partitionBy("_bucket")
-        .orderBy(id_col)
+        .orderBy(id_col, "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     with_in = base.withColumn(

@@ -55,9 +55,13 @@ def segment_dedup(
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     from cleanvision_spark.functions.text_stats import WS_RUN_RE
 
+    # coalesce: split(NULL) is NULL and posexplode(NULL) emits zero
+    # rows — a null-text doc would silently vanish from the output
     seg = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("_pos", "_seg"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delim)
+        ).alias("_pos", "_seg"),
     )
     norm = F.regexp_replace(F.lower(F.trim(F.col("_seg"))), WS_RUN_RE, " ")
     occ = seg.withColumn("_h", F.xxhash64(norm)).withColumn(

@@ -16,20 +16,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cleanvision_spark.operators.textqc import _words_array
-
-
 def term_stats(
     df: DataFrame, id_col: str, text_col: str = "text", min_df: int = 1
 ) -> DataFrame:
     """(term, tf, df, idf): occurrences, distinct-document count, and
-    ln(n_docs / df) rounded to 6, over lowercased whitespace words."""
-    ex = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(_words_array(text_col), lambda w: F.lower(w))
-        ).alias("term"),
-    )
+    ln(n_docs / df) rounded to 6, over lowercased whitespace words.
+    Lowercases the whole text before splitting (identical tokens; the
+    whitespace class is case-invariant) — a per-element transform(lower)
+    is an interpreted HOF, 5-6x slower at volume (docs/SCALE.md)."""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    lowered = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    words = F.when(
+        F.length(lowered) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(lowered, WS_RUN_RE))
+    ex = df.select(F.col(id_col), F.explode(words).alias("term"))
     stats = ex.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct(F.col(id_col)).alias("df"),

@@ -60,6 +60,9 @@ def build_corpus(
     # separate operators; codegen CSE does not span them, and the
     # when-guards defeat it within one), and every later stage would
     # re-derive it again. Filtering the CACHED column is free.
+    # null text = empty document (row-preserving through every stage;
+    # split(NULL) would otherwise silently drop the row downstream)
+    docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     base = with_quality_score(docs, text_col)
     if dedup == "normalized":
         from cleanvision_spark.operators.dedup import normalized_text
@@ -82,7 +85,13 @@ def build_corpus(
     elif dedup == "minhash":
         from cleanvision_spark.operators.dedup import dedup_minhash
 
-        keep = dedup_minhash(out, id_col, text_col).select(id_col)
+        # dedup_minhash is row-preserving (flags every row); keep-one
+        # means keeping only each near-dup group's canonical member
+        keep = (
+            dedup_minhash(out, id_col, text_col)
+            .filter(F.col("is_canonical"))
+            .select(id_col)
+        )
         out = out.join(keep, id_col)
 
     if benchmark_df is not None:

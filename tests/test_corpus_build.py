@@ -53,11 +53,21 @@ def test_build_corpus_no_options(spark, docs):
 
 
 def test_build_corpus_minhash_mode(spark, docs):
+    """the corpus plants 4 copies of each of 30 texts — keep-one dedup
+    must actually REMOVE rows (catches a row-preserving no-op)"""
     from cleanvision_spark.cache import release_tracked
 
     out = build_corpus(docs, dedup="minhash")
-    assert 0 < out.count() <= 120
+    n = out.count()
+    assert 0 < n <= 30, n  # exact copies share every MinHash band
     release_tracked()
+
+
+def test_build_corpus_null_text_preserved(spark):
+    rows = [(1, "real words here", "s0"), (2, None, "s0"), (3, "", "s1")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = build_corpus(docs, dedup="none")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
 
 
 def test_build_corpus_determinism(spark, docs):

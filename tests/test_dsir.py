@@ -44,7 +44,7 @@ def _py_buckets(text, ns=(1, 2), salt="dsir"):
     return out
 
 
-def _py_weights(target, raw, alpha=1.0):
+def _py_weights(target, raw, alpha=1.0, score=None):
     nb = 16**BUCKET_HEX
     ct = Counter(b for _, t in target for b in _py_buckets(t))
     cr = Counter(b for _, t in raw for b in _py_buckets(t))
@@ -56,8 +56,8 @@ def _py_weights(target, raw, alpha=1.0):
         )
 
     out = {}
-    for doc_id, t in raw:
-        bs = _py_buckets(t)
+    for doc_id, t in score if score is not None else raw:
+        bs = _py_buckets(t or "")
         out[doc_id] = (len(bs), round(sum(ratio(b) for b in bs), 6))
     return out
 
@@ -88,6 +88,31 @@ def test_dsir_fishy_docs_rank_higher(spark):
     # fish-domain docs must outrank the stock-market docs
     assert w[1] > w[2] and w[3] > w[4] and w[1] > w[4]
     assert w[5] == 0.0  # empty doc has no grams
+
+
+def test_dsir_scores_out_of_fit_docs(spark):
+    """fit on one corpus, score docs with UNSEEN grams: the dense ratio
+    table must apply the smoothed default (python Counter path),
+    not 0 — and null text must stay row-preserved"""
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    extra = [(900, "totally novel vocabulary zz qq"), (901, None)]
+    score_rows = RAW + [(900, extra[0][1]), (901, "")]
+    df = spark.createDataFrame(
+        RAW + [(900, extra[0][1]), (901, None)], "doc_id long, text string"
+    )
+    ratios = dsir_fit(tgt, raw)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logratio"])
+        for r in dsir_weights(df, "doc_id", ratios).collect()
+    }
+    exp = _py_weights(TARGET, raw=RAW, score=score_rows)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert abs(got[k][1] - exp[k][1]) < 2e-6, (k, got[k], exp[k])
+    assert got[900][1] != 0.0  # smoothed default, not silent zero
+    assert got[901] == (0, 0.0)
 
 
 def test_importance_resample_matches_python(spark):

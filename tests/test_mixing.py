@@ -83,6 +83,22 @@ def test_mixture_sample_determinism(spark):
     assert a == b
 
 
+def test_cap_per_key_null_keys(spark):
+    # NULL key = its own group, capped like any other (a plain
+    # equi-join would drop every null-key row)
+    rows = [(i, "a" if i < 50 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = cap_per_key(df, "src", "doc_id", 60).collect()
+    from collections import Counter
+
+    kept = Counter(r["src"] for r in out)
+    assert kept["a"] == 50  # under cap: whole
+    assert kept[None] == 50
+    capped = cap_per_key(df, "src", "doc_id", 20).collect()
+    kept = Counter(r["src"] for r in capped)
+    assert 8 <= kept["a"] <= 32 and 8 <= kept[None] <= 32
+
+
 def test_mixing_validates(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, src string")
     with pytest.raises(ValueError):
