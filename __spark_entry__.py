@@ -724,6 +724,30 @@ def _q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dataset-card slice statistics per language (exact percentiles)"""
+    from cleanvision_spark.operators.stats import corpus_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(docs, "doc_id", by="lang")
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """batch accretion: the doc_id%7==0 slice plays the already-kept
+    corpus (via its content index); the rest is the new batch —
+    within-batch keep-one then anti-join the index."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.accretion import content_index, dedup_new_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 7 == 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    return dedup_new_batch(new, content_index(old), "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.vocab import top_terms
 
@@ -1337,6 +1361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_exact": _q_cap_per_source_exact,
         "mixture_sample": _q_mixture_sample,
         "top_terms": _q_top_terms,
+        "corpus_stats": _q_corpus_stats,
+        "dedup_incremental": _q_dedup_incremental,
         "corpus_build": _q_corpus_build,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -1956,6 +1982,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, tf, df,
                    round(ln(n::DOUBLE / df::DOUBLE), 6) AS idf
             FROM s, nd ORDER BY tf DESC, term LIMIT 50
+        """,
+        "corpus_stats": rf"""
+            WITH t AS (
+              SELECT lang,
+                     length(coalesce(text, '')) AS nc,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '{WS_SQL}'))
+                     END AS nt,
+                     sha256(lower(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')))) AS nh
+              FROM documents
+            )
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   sum(nc)::BIGINT AS n_chars,
+                   round(avg(nc), 6) AS avg_chars,
+                   round(quantile_cont(nc, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(nc, 0.9), 4) AS p90_chars,
+                   count(DISTINCT nh)::BIGINT AS n_distinct,
+                   round(1.0 - count(DISTINCT nh)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate
+            FROM t GROUP BY lang
+        """,
+        "dedup_incremental": rf"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     sha256(lower(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')))) AS nh
+              FROM documents
+            ),
+            idx AS (SELECT DISTINCT nh FROM norm WHERE doc_id % 7 = 0),
+            newb AS (SELECT * FROM norm WHERE doc_id % 7 <> 0),
+            canon AS (SELECT nh, min(doc_id) AS cid FROM newb GROUP BY nh)
+            SELECT n.doc_id, n.lang
+            FROM newb n JOIN canon c ON n.nh = c.nh AND n.doc_id = c.cid
+            WHERE n.nh NOT IN (SELECT nh FROM idx)
         """,
         "dsir_weights": rf"""
             WITH {_DSIR_CTE}

@@ -1,0 +1,58 @@
+"""Batch corpus accretion — dedup a NEW batch (a fresh crawl snapshot)
+against the corpus you already keep, without rescoring the old corpus.
+
+The batch analog of the streaming exact-dedup sink
+(streaming/stream.py:232-276): the existing corpus is represented by
+its hash INDEX (one row per kept document), the new batch first
+dedups within itself (keep min-id per normalized-hash group), then
+anti-joins the index. Deterministic at any parallelism.
+
+Scale shape: the index side carries only (hash) — 8-byte rows after
+the xxhash64 projection; both the within-batch groupBy and the
+cross anti-join key on that hash, so co-locating index and batch via
+sources/layout.write_bucketed(hash) makes every trigger's anti-join
+shuffle-free; the anti join drops matches early (no row widening).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.dedup import normalized_text
+
+
+def content_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(hash) — the persistent dedup index rows for kept documents;
+    8-byte normalized-content hashes (xxhash64 of the normalized
+    sha256; 2^-64 pairwise collision odds)."""
+    return df.select(
+        F.xxhash64(F.sha2(normalized_text(text_col), 256)).alias("hash")
+    ).distinct()
+
+
+def dedup_new_batch(
+    new_df: DataFrame,
+    index_df: DataFrame | None,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``new_df`` that survive accretion: first-of-group within
+    the batch (min id per normalized-content group), minus anything
+    whose content already exists in ``index_df`` (a content_index()
+    frame, or None for the first batch). Append content_index() of the
+    RESULT to the stored index afterwards."""
+    hashed = new_df.withColumn(
+        "_h", F.xxhash64(F.sha2(normalized_text(text_col), 256))
+    )
+    canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_cid"))
+    kept = (
+        hashed.join(canon, "_h")
+        .filter(F.col(id_col) == F.col("_cid"))
+        .drop("_cid")
+    )
+    if index_df is not None:
+        kept = kept.join(
+            index_df.select(F.col("hash").alias("_h")), "_h", "left_anti"
+        )
+    return kept.drop("_h")

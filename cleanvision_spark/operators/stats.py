@@ -1,0 +1,64 @@
+"""Corpus-level dataset-card statistics — the numbers a corpus release
+publishes per slice: document/token/char volumes, length distribution,
+and duplicate rate. Complements the per-issue summaries in
+operators/summary.py with corpus-composition reporting.
+
+Scale: one groupBy on the slice key with map-side partial aggregation.
+Default percentiles are EXACT (F.percentile — per-group sort; fine for
+a run-once dataset-card job); pass ``approx=True`` for the mergeable
+percentile_approx sketch on corpora where a per-group sort is not
+acceptable. The distinct-content count aggregates 8-byte xxhash64
+values, not 64-char hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators.dedup import normalized_text
+
+
+def corpus_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    by: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """(by?, n_docs, n_tokens, n_chars, avg_chars, p50_chars,
+    p90_chars, n_distinct, dup_rate) — global (one row) or per-``by``
+    value."""
+    from cleanvision_spark.functions.text_stats import WS_RUN_RE
+
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WS_RUN_RE))
+    )
+    base = df.select(
+        *([by] if by else []),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nc"),
+        tokens.alias("_nt"),
+        F.xxhash64(F.sha2(normalized_text(text_col), 256)).alias("_nh"),
+    )
+
+    def pct(p: float):
+        if approx:
+            return F.percentile_approx("_nc", F.lit(p), F.lit(10000)).cast("double")
+        return F.percentile("_nc", F.lit(p))
+
+    n_docs = F.count(F.lit(1))
+    n_distinct = F.count_distinct(F.col("_nh"))
+    aggs = [
+        n_docs.alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.round(F.avg("_nc"), 6).alias("avg_chars"),
+        F.round(pct(0.5), 4).alias("p50_chars"),
+        F.round(pct(0.9), 4).alias("p90_chars"),
+        n_distinct.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_rate"),
+    ]
+    return base.groupBy(by).agg(*aggs) if by else base.agg(*aggs)

@@ -1,0 +1,74 @@
+"""dedup_new_batch and corpus_stats vs independent Python paths."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from cleanvision_spark.operators.accretion import content_index, dedup_new_batch
+from cleanvision_spark.operators.stats import corpus_stats
+
+WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def _norm(t):
+    return WS.sub(" ", t).strip().lower() if t else ""
+
+
+def test_dedup_new_batch_first_batch(spark):
+    rows = [(1, "aaa bbb"), (2, "AAA  bbb "), (3, "ccc"), (4, "ccc"), (5, "ddd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_new_batch(df, None, "doc_id").collect())
+    assert kept == [1, 3, 5]  # min-id per normalized group
+
+
+def test_dedup_new_batch_against_index(spark):
+    old = spark.createDataFrame(
+        [(100, "aaa bbb"), (101, "eee")], "doc_id long, text string"
+    )
+    idx = content_index(old)
+    new = spark.createDataFrame(
+        [(1, "AAA bbb"), (2, "fff"), (3, "eee"), (4, "fff extra")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_new_batch(new, idx, "doc_id").collect()
+    )
+    assert kept == [2, 4]  # 1 and 3 already in the corpus
+
+
+def test_accretion_chain_is_stable(spark):
+    # appending the kept batch's index and replaying the same batch
+    # keeps nothing (idempotent accretion)
+    new = spark.createDataFrame(
+        [(1, "xx"), (2, "yy"), (3, "xx")], "doc_id long, text string"
+    )
+    kept = dedup_new_batch(new, None, "doc_id")
+    idx = content_index(kept)
+    again = dedup_new_batch(new, idx, "doc_id")
+    assert again.count() == 0
+
+
+def test_corpus_stats_global_and_by(spark):
+    rows = [
+        (1, "a b c", "en"),
+        (2, "a b c", "en"),  # exact dup of 1 after normalization
+        (3, "dd ee", "de"),
+        (4, None, "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    g = corpus_stats(df, "doc_id").collect()[0]
+    assert g["n_docs"] == 4 and g["n_tokens"] == 8 and g["n_chars"] == 15
+    assert g["n_distinct"] == 3 and abs(g["dup_rate"] - 0.25) < 1e-9
+    by = {r["lang"]: r for r in corpus_stats(df, "doc_id", by="lang").collect()}
+    assert by["en"]["n_docs"] == 2 and by["en"]["dup_rate"] == 0.5
+    assert by["de"]["n_distinct"] == 2 and by["de"]["dup_rate"] == 0.0
+    assert by["de"]["p50_chars"] == 2.5  # interpolated between 0 and 5
+
+
+def test_corpus_stats_approx_mode(spark):
+    rows = [(i, "w " * (i % 17), "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = corpus_stats(df, "doc_id").collect()[0]
+    approx = corpus_stats(df, "doc_id", approx=True).collect()[0]
+    assert abs(exact["p50_chars"] - approx["p50_chars"]) <= 2
