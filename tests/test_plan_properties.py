@@ -1,0 +1,89 @@
+"""Physical-plan assertions for the corpus-composition operators —
+locks in the scale properties the docs claim (no Python stages, no
+sort-merge joins, no windows where the hash-quota design forbids
+them). Complements scripts/plan_audit.py (a report) with hard tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_cap_per_key_plan_has_no_window(spark, docs):
+    from cleanvision_spark.operators.mixing import cap_per_key
+
+    p = _plan(cap_per_key(docs, "source", "doc_id", 15))
+    assert "Window" not in p  # hash-quota, never a per-key window
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dsir_plan_is_python_free(spark, docs):
+    from cleanvision_spark.operators.dsir import dsir_fit, dsir_weights
+
+    ratios = dsir_fit(docs.filter(F.col("lang") == "zh"), docs)
+    p = _plan(dsir_weights(docs, "doc_id", ratios))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_corpus_build_plan_is_python_free(spark, docs):
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.plans.corpus_build import build_corpus
+
+    out = build_corpus(
+        docs,
+        min_quality=0.71,
+        dedup="normalized",
+        benchmark_df=docs.filter(F.col("doc_id") % 97 == 3),
+        decontaminate_n=3,
+        cap=("source", 20),
+        splits={"train": 0.8, "val": 0.2},
+        seq_len=2048,
+        salt="t",
+    )
+    p = _plan(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    release_tracked()
+
+
+def test_segment_dedup_plan(spark, docs):
+    from cleanvision_spark.operators.segments import segment_dedup
+
+    p = _plan(segment_dedup(docs, "doc_id", delim=" a "))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    from cleanvision_spark.operators.decontaminate import contamination_hits
+
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    p = _plan(contamination_hits(docs, bench, "doc_id", n=3))
+    assert "BroadcastHashJoin" in p  # benchmark grams broadcast
+    assert "SortMergeJoin" not in p
+
+
+def test_packing_window_is_partitioned(spark, docs):
+    from cleanvision_spark.operators.packing import pack_sequences
+
+    toks = docs.select("doc_id", F.col("n_chars").alias("n_tokens"))
+    p = _plan(pack_sequences(toks, "doc_id", "n_tokens", 2048))
+    # two Window nodes: the partitioned within-bucket cumsum and the
+    # tiny bucket-offset window; the FIRST must be partitioned by the
+    # bucket (no corpus-wide single-task window)
+    windows = [seg for seg in p.split("\n") if "Window" in seg and "_bucket" in seg]
+    assert any("partitionBy" in w or "_bucket" in w for w in windows)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
