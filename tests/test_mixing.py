@@ -99,6 +99,37 @@ def test_cap_per_key_null_keys(spark):
     assert 8 <= kept["a"] <= 32 and 8 <= kept[None] <= 32
 
 
+def test_cap_per_key_nested(spark):
+    # hash-quota nesting: a lower cap must select a SUBSET of a higher
+    # cap (same salt) — lets a pilot cap grow without re-reading output
+    df = spark.createDataFrame(ROWS, "doc_id long, src string")
+    small = {r["doc_id"] for r in cap_per_key(df, "src", "doc_id", 20, "n").collect()}
+    big = {r["doc_id"] for r in cap_per_key(df, "src", "doc_id", 50, "n").collect()}
+    assert small <= big
+
+
+def test_cap_per_key_random_corpora(spark):
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = [(i, f"k{rng.randrange(7)}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, src string").repartition(5)
+        got = sorted(
+            r["doc_id"] for r in cap_per_key(df, "src", "doc_id", 25, "r").collect()
+        )
+        from collections import Counter
+
+        cnt = Counter(s for _, s in rows)
+        exp = sorted(
+            i
+            for i, s in rows
+            if cnt[s] <= 25
+            or _pfx(i, "r") < int(min(25.0 / cnt[s], 1.0) * float(_SPACE))
+        )
+        assert got == exp, seed
+
+
 def test_mixing_validates(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, src string")
     with pytest.raises(ValueError):

@@ -54,6 +54,19 @@ def test_pack_partition_invariance(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_pack_random_corpora(spark):
+    import random
+
+    for seed in (2, 9):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(100_000), rng.randrange(0, 400))
+            for _ in range(250)
+        ]
+        rows = list({i: t for i, t in rows}.items())  # unique ids
+        _check(spark, rows, seq_len=rng.choice([64, 1024]), bucket_size=37)
+
+
 def test_pack_validates_args(spark):
     df = spark.createDataFrame([(1, 1)], "id long, tok long")
     import pytest

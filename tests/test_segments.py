@@ -87,6 +87,30 @@ def test_segment_dedup_partition_invariance(spark):
     assert a == b
 
 
+def test_segment_dedup_random_corpora(spark):
+    import random
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "DD", " ", ""]
+        rows = [
+            (
+                i,
+                "\n".join(
+                    " ".join(rng.choice(vocab) for _ in range(rng.randrange(4)))
+                    for _ in range(rng.randrange(5))
+                ),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+        got = {
+            r["doc_id"]: (r["n_segments"], r["n_kept"], r["text_dedup"])
+            for r in segment_dedup(df, "doc_id").collect()
+        }
+        assert got == _py_segment_dedup(rows, r"\n", "\n", "keep_first", 2), seed
+
+
 def test_segment_dedup_bad_mode(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     with pytest.raises(ValueError):
