@@ -120,9 +120,13 @@ def connected_components(
 
     prev_fp = _fingerprint(cur)
     for _ in range(max_iterations):
-        # canonicalize so the fingerprint compares a normal form
+        # canonicalize so the fingerprint compares a normal form; the
+        # checkpoint is LAZY so the fingerprint aggregate materializes
+        # it in the same job — one driver round-trip per iteration
+        # instead of two (iteration latency is what dominates: per-round
+        # data is tiny after the first contractions)
         nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(
-            eager=True
+            eager=False
         )
         fp = _fingerprint(nxt)
         cur = nxt
