@@ -208,6 +208,21 @@ def main() -> None:
     ))
 
     sections.append((
+        "Dataset-card corpus stats",
+        "One slice-keyed groupBy with map-side combine; the distinct-"
+        "content count aggregates 8-byte xxhash64 values.",
+        metrics(e.queries()["corpus_stats"](spark, SF)),
+    ))
+
+    sections.append((
+        "Batch accretion (dedup vs stored index)",
+        "Within-batch keep-one on the 8-byte normalized hash, then a "
+        "LEFT ANTI join against the content index — matches drop early, "
+        "no row widening.",
+        metrics(e.queries()["dedup_incremental"](spark, SF)),
+    ))
+
+    sections.append((
         "Top-k corpus terms",
         "Term-keyed groupBy (map-side combined) + one-row doc-count "
         "broadcast + TakeOrderedAndProject for the k heaviest terms.",
