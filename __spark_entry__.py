@@ -748,6 +748,22 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_build_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_corpus with MinHash near-dup keep-one (UDF signatures —
+    rows-only check; the normalized variant carries the full oracle)."""
+    from cleanvision_spark.plans.corpus_build import build_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = build_corpus(
+        docs,
+        min_quality=0.71,
+        dedup="minhash",
+        splits={"train": 0.9, "val": 0.1},
+        salt="cbm",
+    )
+    return out.select("doc_id", "source", "quality_score", "split")
+
+
 def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.vocab import top_terms
 
@@ -1364,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "dedup_incremental": _q_dedup_incremental,
         "corpus_build": _q_corpus_build,
+        "corpus_build_minhash": _q_corpus_build_minhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,

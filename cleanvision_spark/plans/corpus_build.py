@@ -21,6 +21,13 @@ corpus four times and recomputed the quality regexes per stage):
 
 Callers that keep the result long-term should
 cache.release_tracked() when done (the driver contract does).
+
+``build_corpus_checkpointed`` wraps the same stages with stage-level
+resume: the two expensive stage outputs (scored base; post-dedup+
+decontam keep set) are written to the checkpoint dir with markers, so
+a killed multi-hour build restarts from the last completed stage —
+every stage is deterministic, so resumed output is identical to an
+uninterrupted run (tested).
 """
 
 from __future__ import annotations
@@ -134,4 +141,107 @@ def build_corpus(
         packed = pack_sequences(toks, id_col, "n_tokens", seq_len)
         out = out.join(packed, id_col, "left")
 
+    return out
+
+
+def build_corpus_checkpointed(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    dedup: str = "normalized",
+    benchmark_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    cap: tuple[str, int] | None = None,
+    splits: dict[str, float] | None = None,
+    seq_len: int | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """build_corpus with stage-level resume. Stage outputs land in
+    ``checkpoint_dir``: ``scored/`` (quality + dedup-hash columns —
+    the expensive per-row pass) and ``kept/`` (after dedup keep-one +
+    decontamination — the expensive shuffles). On restart, completed
+    stages are READ, not recomputed; the cheap tail (cap/split/pack)
+    always re-runs from ``kept``. All stages are deterministic, so a
+    resumed build equals an uninterrupted one."""
+    from cleanvision_spark import fsutil
+    from cleanvision_spark.operators.textqc import with_quality_score
+
+    if dedup not in DEDUP_MODES:
+        raise ValueError(f"dedup must be one of {DEDUP_MODES}, got {dedup!r}")
+    spark = docs.sparkSession
+    scored_dir = f"{checkpoint_dir}/scored"
+    kept_dir = f"{checkpoint_dir}/kept"
+
+    if not fsutil.exists(spark, f"{kept_dir}/_SUCCESS"):
+        if fsutil.exists(spark, f"{scored_dir}/_SUCCESS"):
+            base = spark.read.parquet(scored_dir)
+        else:
+            src = docs.withColumn(
+                text_col, F.coalesce(F.col(text_col), F.lit(""))
+            )
+            base = with_quality_score(src, text_col)
+            if dedup == "normalized":
+                from cleanvision_spark.operators.dedup import normalized_text
+
+                base = base.withColumn(
+                    "_nh", F.xxhash64(F.sha2(normalized_text(text_col), 256))
+                )
+            base.write.mode("overwrite").parquet(scored_dir)
+            base = spark.read.parquet(scored_dir)
+
+        out = base.filter(F.col("quality_score") >= min_quality)
+        if dedup == "normalized":
+            canon = out.groupBy("_nh").agg(F.min(id_col).alias("_cid"))
+            out = (
+                out.join(canon, "_nh")
+                .filter(F.col(id_col) == F.col("_cid"))
+                .drop("_nh", "_cid")
+            )
+        elif dedup == "minhash":
+            from cleanvision_spark.operators.dedup import dedup_minhash
+
+            keep = (
+                dedup_minhash(out, id_col, text_col)
+                .filter(F.col("is_canonical"))
+                .select(id_col)
+            )
+            out = out.join(keep, id_col)
+        if benchmark_df is not None:
+            from cleanvision_spark.operators.decontaminate import (
+                contamination_hits,
+            )
+
+            hits = contamination_hits(
+                out, benchmark_df, id_col, text_col, n=decontaminate_n
+            ).select(id_col)
+            out = out.join(hits, id_col, "left_anti")
+        out.drop("_nh").write.mode("overwrite").parquet(kept_dir)
+
+    out = spark.read.parquet(kept_dir)
+    if cap is not None:
+        from cleanvision_spark.operators.mixing import cap_per_key
+
+        key_col, max_rows = cap
+        out = cap_per_key(out, key_col, id_col, max_rows, salt=salt + "/cap")
+    if splits:
+        from cleanvision_spark.operators.sampling import split_assign
+
+        out = split_assign(out, id_col, splits, salt=salt + "/split")
+    if seq_len is not None:
+        from cleanvision_spark.operators.packing import pack_sequences
+        from cleanvision_spark.operators.textqc import _words_array
+
+        packable = (
+            out.filter(F.col("split") == next(iter(splits)))
+            if splits
+            else out
+        )
+        toks = packable.select(
+            F.col(id_col),
+            F.size(_words_array(text_col)).cast("long").alias("n_tokens"),
+        )
+        packed = pack_sequences(toks, id_col, "n_tokens", seq_len)
+        out = out.join(packed, id_col, "left")
     return out

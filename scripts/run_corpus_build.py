@@ -41,9 +41,15 @@ def main() -> None:
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--salt", default="corpus")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="stage-level resume dir: a killed build restarts "
+                         "from the last completed stage")
     args = ap.parse_args()
 
-    from cleanvision_spark.plans.corpus_build import build_corpus
+    from cleanvision_spark.plans.corpus_build import (
+        build_corpus,
+        build_corpus_checkpointed,
+    )
     from cleanvision_spark.session import get_spark
 
     spark = get_spark("corpus_build", cores=args.cores)
@@ -55,8 +61,7 @@ def main() -> None:
         cap = (key, int(n))
     splits = json.loads(args.splits) if args.splits else None
 
-    out = build_corpus(
-        docs,
+    kwargs = dict(
         id_col=args.id_col,
         text_col=args.text_col,
         min_quality=args.min_quality,
@@ -68,6 +73,10 @@ def main() -> None:
         seq_len=args.seq_len,
         salt=args.salt,
     )
+    if args.checkpoint:
+        out = build_corpus_checkpointed(docs, args.checkpoint, **kwargs)
+    else:
+        out = build_corpus(docs, **kwargs)
     writer = out.write.mode("overwrite")
     if splits:
         writer = writer.partitionBy("split")

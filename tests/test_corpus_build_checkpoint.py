@@ -1,0 +1,80 @@
+"""build_corpus_checkpointed: resumed builds equal uninterrupted ones,
+and completed stages are read, not recomputed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleanvision_spark.plans.corpus_build import (
+    build_corpus,
+    build_corpus_checkpointed,
+)
+
+KW = dict(
+    min_quality=0.5,
+    dedup="normalized",
+    decontaminate_n=3,
+    cap=("src", 100),
+    splits={"train": 0.8, "val": 0.2},
+    seq_len=32,
+    salt="t",
+)
+
+
+def _docs(spark):
+    rows = [
+        (i, f"doc {i % 25} body with several plain words here", f"s{i % 3}")
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_checkpointed_equals_plain(spark, tmp_path):
+    from cleanvision_spark.cache import release_tracked
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plain = sorted(
+        map(tuple, build_corpus(docs, benchmark_df=bench, **KW).collect())
+    )
+    release_tracked()
+    cp = sorted(
+        map(
+            tuple,
+            build_corpus_checkpointed(
+                docs, str(tmp_path / "cp"), benchmark_df=bench, **KW
+            ).collect(),
+        )
+    )
+    assert plain == cp
+
+
+def test_resume_uses_checkpoint_not_input(spark, tmp_path):
+    docs = _docs(spark)
+    cpdir = str(tmp_path / "cp2")
+    first = sorted(
+        map(tuple, build_corpus_checkpointed(docs, cpdir, **KW).collect())
+    )
+    # resume with a DIFFERENT (empty) input: completed stages must be
+    # read from the checkpoint, so the output is unchanged
+    empty = docs.limit(0)
+    resumed = sorted(
+        map(tuple, build_corpus_checkpointed(empty, cpdir, **KW).collect())
+    )
+    assert resumed == first
+
+
+def test_resume_from_scored_stage(spark, tmp_path):
+    from cleanvision_spark import fsutil
+
+    docs = _docs(spark)
+    cpdir = str(tmp_path / "cp3")
+    full = sorted(
+        map(tuple, build_corpus_checkpointed(docs, cpdir, **KW).collect())
+    )
+    # simulate a crash after the scored stage: delete kept/, keep scored/
+    assert fsutil.delete(spark, f"{cpdir}/kept")
+    resumed = sorted(
+        map(tuple, build_corpus_checkpointed(docs, cpdir, **KW).collect())
+    )
+    assert resumed == full
