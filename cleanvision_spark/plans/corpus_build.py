@@ -22,15 +22,17 @@ corpus four times and recomputed the quality regexes per stage):
 Callers that keep the result long-term should
 cache.release_tracked() when done (the driver contract does).
 
-``build_corpus_checkpointed`` wraps the same stages with stage-level
-resume: the two expensive stage outputs (scored base; post-dedup+
-decontam keep set) are written to the checkpoint dir with markers, so
-a killed multi-hour build restarts from the last completed stage —
-every stage is deterministic, so resumed output is identical to an
-uninterrupted run (tested).
+``build_corpus_checkpointed`` wraps the SAME stage helpers with
+stage-level resume: the two expensive stage outputs (scored base;
+post-dedup+decontam keep set) are written to the checkpoint dir with
+markers plus a parameter fingerprint, so a killed multi-hour build
+restarts from the last completed stage — and a resume with DIFFERENT
+parameters fails loudly instead of silently serving the old corpus.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,49 +40,38 @@ from pyspark.sql import functions as F
 DEDUP_MODES = ("none", "normalized", "minhash")
 
 
-def build_corpus(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_quality: float = 0.0,
-    dedup: str = "normalized",
-    benchmark_df: DataFrame | None = None,
-    decontaminate_n: int = 13,
-    cap: tuple[str, int] | None = None,
-    splits: dict[str, float] | None = None,
-    seq_len: int | None = None,
-    salt: str = "corpus",
-) -> DataFrame:
-    """Returns the KEPT documents with ``quality_score``, optional
-    ``split``, and — when ``seq_len`` is set — ``n_tokens`` /
-    ``seq_id`` / ``seq_offset`` for the packed split (the FIRST name in
-    ``splits``, i.e. train; other splits carry nulls)."""
-    from cleanvision_spark.cache import tracked_persist
+def _scored_base(docs: DataFrame, text_col: str, dedup: str) -> DataFrame:
+    """ONE projection computing every expensive per-row expression:
+    the composite quality score and (for normalized dedup) the 8-byte
+    content hash. NULL text is an empty document (split(NULL) would
+    silently drop rows downstream)."""
     from cleanvision_spark.operators.textqc import with_quality_score
 
-    if dedup not in DEDUP_MODES:
-        raise ValueError(f"dedup must be one of {DEDUP_MODES}, got {dedup!r}")
-
-    # ONE projection computes every expensive per-row expression, and
-    # it is persisted BEFORE the quality filter: a filter on the raw
-    # expression would re-evaluate it (predicate and project are
-    # separate operators; codegen CSE does not span them, and the
-    # when-guards defeat it within one), and every later stage would
-    # re-derive it again. Filtering the CACHED column is free.
-    # null text = empty document (row-preserving through every stage;
-    # split(NULL) would otherwise silently drop the row downstream)
     docs = docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     base = with_quality_score(docs, text_col)
     if dedup == "normalized":
         from cleanvision_spark.operators.dedup import normalized_text
 
-        # 8-byte group key (xxhash64 of the normalized sha) keeps the
-        # dedup shuffle narrow; collision odds 2^-64 per pair
+        # xxhash64 of the normalized sha keeps the dedup shuffle narrow
+        # (8-byte keys; collision odds 2^-64 per pair)
         base = base.withColumn(
             "_nh", F.xxhash64(F.sha2(normalized_text(text_col), 256))
         )
-    base = tracked_persist(base, eager=True)
-    out = base.filter(F.col("quality_score") >= min_quality)
+    return base
+
+
+def _keep_stage(
+    out: DataFrame,
+    id_col: str,
+    text_col: str,
+    dedup: str,
+    benchmark_df: DataFrame | None,
+    decontaminate_n: int,
+) -> DataFrame:
+    """dedup keep-one + decontamination over the quality-filtered base
+    (shared by the plain and checkpointed builders — stage semantics
+    must never drift between the two)."""
+    from cleanvision_spark.cache import tracked_persist
 
     if dedup == "normalized":
         canon = out.groupBy("_nh").agg(F.min(id_col).alias("_cid"))
@@ -104,13 +95,27 @@ def build_corpus(
     if benchmark_df is not None:
         from cleanvision_spark.operators.decontaminate import contamination_hits
 
+        # the dedup-join output feeds BOTH the gram explode and the
+        # anti-join left side — persist it so the dedup shuffle subtree
+        # is not recomputed per branch
+        out = tracked_persist(out)
         hits = contamination_hits(
             out, benchmark_df, id_col, text_col, n=decontaminate_n
         ).select(id_col)
-        # persist: the cap's count table, the packing branch, and the
-        # final join would each re-run the gram explode otherwise
-        out = tracked_persist(out.join(hits, id_col, "left_anti"), eager=True)
+        out = out.join(hits, id_col, "left_anti")
+    return out
 
+
+def _tail_stage(
+    out: DataFrame,
+    id_col: str,
+    text_col: str,
+    cap: tuple[str, int] | None,
+    splits: dict[str, float] | None,
+    seq_len: int | None,
+    salt: str,
+) -> DataFrame:
+    """cap → split → pack (cheap, always recomputable)."""
     if cap is not None:
         from cleanvision_spark.operators.mixing import cap_per_key
 
@@ -140,8 +145,50 @@ def build_corpus(
         )
         packed = pack_sequences(toks, id_col, "n_tokens", seq_len)
         out = out.join(packed, id_col, "left")
-
     return out
+
+
+def build_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    dedup: str = "normalized",
+    benchmark_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    cap: tuple[str, int] | None = None,
+    splits: dict[str, float] | None = None,
+    seq_len: int | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """Returns the KEPT documents with ``quality_score``, optional
+    ``split``, and — when ``seq_len`` is set — ``n_tokens`` /
+    ``seq_id`` / ``seq_offset`` for the packed split (the FIRST name in
+    ``splits``, i.e. train; other splits carry nulls)."""
+    from cleanvision_spark.cache import tracked_persist
+
+    if dedup not in DEDUP_MODES:
+        raise ValueError(f"dedup must be one of {DEDUP_MODES}, got {dedup!r}")
+
+    # the base is persisted BEFORE the quality filter: a filter on the
+    # raw expression would re-evaluate it (predicate and project are
+    # separate operators; codegen CSE does not span them, and the
+    # when-guards defeat it within one), and every later stage would
+    # re-derive it again. Filtering the CACHED column is free. eager:
+    # concurrent stages of one job would otherwise race to compute the
+    # unmaterialized cache (see cache.tracked_persist).
+    base = tracked_persist(_scored_base(docs, text_col, dedup), eager=True)
+    out = base.filter(F.col("quality_score") >= min_quality)
+    out = _keep_stage(out, id_col, text_col, dedup, benchmark_df, decontaminate_n)
+    if benchmark_df is not None:
+        # the cap's count table, the packing branch, and the final join
+        # would each re-run the decontamination anti-join otherwise
+        out = tracked_persist(out, eager=True)
+    return _tail_stage(out, id_col, text_col, cap, splits, seq_len, salt)
+
+
+def _params_fingerprint(**kwargs) -> str:
+    return json.dumps(kwargs, sort_keys=True)
 
 
 def build_corpus_checkpointed(
@@ -164,84 +211,52 @@ def build_corpus_checkpointed(
     decontamination — the expensive shuffles). On restart, completed
     stages are READ, not recomputed; the cheap tail (cap/split/pack)
     always re-runs from ``kept``. All stages are deterministic, so a
-    resumed build equals an uninterrupted one."""
+    resumed build equals an uninterrupted one.
+
+    The stage-shaping parameters are fingerprinted into
+    ``params.json``; resuming with different ones raises (a silent
+    resume would serve a corpus built with the OLD parameters).
+    benchmark_df cannot be fingerprinted — changing the benchmark
+    between runs requires a fresh checkpoint dir (documented here; the
+    flag records only whether one was present)."""
     from cleanvision_spark import fsutil
-    from cleanvision_spark.operators.textqc import with_quality_score
 
     if dedup not in DEDUP_MODES:
         raise ValueError(f"dedup must be one of {DEDUP_MODES}, got {dedup!r}")
     spark = docs.sparkSession
     scored_dir = f"{checkpoint_dir}/scored"
     kept_dir = f"{checkpoint_dir}/kept"
+    params_path = f"{checkpoint_dir}/params.json"
+
+    fp = _params_fingerprint(
+        min_quality=min_quality,
+        dedup=dedup,
+        has_benchmark=benchmark_df is not None,
+        decontaminate_n=decontaminate_n,
+    )
+    prior = fsutil.read_text(spark, params_path)
+    if prior is None:
+        fsutil.write_text(spark, params_path, fp)
+    elif prior != fp:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} was built with different "
+            f"parameters ({prior}); resuming with ({fp}) would silently "
+            "mix semantics — use a fresh checkpoint dir"
+        )
 
     if not fsutil.exists(spark, f"{kept_dir}/_SUCCESS"):
         if fsutil.exists(spark, f"{scored_dir}/_SUCCESS"):
             base = spark.read.parquet(scored_dir)
         else:
-            src = docs.withColumn(
-                text_col, F.coalesce(F.col(text_col), F.lit(""))
+            _scored_base(docs, text_col, dedup).write.mode("overwrite").parquet(
+                scored_dir
             )
-            base = with_quality_score(src, text_col)
-            if dedup == "normalized":
-                from cleanvision_spark.operators.dedup import normalized_text
-
-                base = base.withColumn(
-                    "_nh", F.xxhash64(F.sha2(normalized_text(text_col), 256))
-                )
-            base.write.mode("overwrite").parquet(scored_dir)
             base = spark.read.parquet(scored_dir)
-
         out = base.filter(F.col("quality_score") >= min_quality)
-        if dedup == "normalized":
-            canon = out.groupBy("_nh").agg(F.min(id_col).alias("_cid"))
-            out = (
-                out.join(canon, "_nh")
-                .filter(F.col(id_col) == F.col("_cid"))
-                .drop("_nh", "_cid")
-            )
-        elif dedup == "minhash":
-            from cleanvision_spark.operators.dedup import dedup_minhash
-
-            keep = (
-                dedup_minhash(out, id_col, text_col)
-                .filter(F.col("is_canonical"))
-                .select(id_col)
-            )
-            out = out.join(keep, id_col)
-        if benchmark_df is not None:
-            from cleanvision_spark.operators.decontaminate import (
-                contamination_hits,
-            )
-
-            hits = contamination_hits(
-                out, benchmark_df, id_col, text_col, n=decontaminate_n
-            ).select(id_col)
-            out = out.join(hits, id_col, "left_anti")
-        out.drop("_nh").write.mode("overwrite").parquet(kept_dir)
+        out = _keep_stage(
+            out, id_col, text_col, dedup, benchmark_df, decontaminate_n
+        )
+        out.write.mode("overwrite").parquet(kept_dir)
 
     out = spark.read.parquet(kept_dir)
-    if cap is not None:
-        from cleanvision_spark.operators.mixing import cap_per_key
-
-        key_col, max_rows = cap
-        out = cap_per_key(out, key_col, id_col, max_rows, salt=salt + "/cap")
-    if splits:
-        from cleanvision_spark.operators.sampling import split_assign
-
-        out = split_assign(out, id_col, splits, salt=salt + "/split")
-    if seq_len is not None:
-        from cleanvision_spark.operators.packing import pack_sequences
-        from cleanvision_spark.operators.textqc import _words_array
-
-        packable = (
-            out.filter(F.col("split") == next(iter(splits)))
-            if splits
-            else out
-        )
-        toks = packable.select(
-            F.col(id_col),
-            F.size(_words_array(text_col)).cast("long").alias("n_tokens"),
-        )
-        packed = pack_sequences(toks, id_col, "n_tokens", seq_len)
-        out = out.join(packed, id_col, "left")
-    return out
+    return _tail_stage(out, id_col, text_col, cap, splits, seq_len, salt)
