@@ -68,6 +68,22 @@ def _ensure_shipped(spark: SparkSession) -> None:
 SF_SMOKE = "/root/testdata/sf0.001"
 CAP = 262144  # MAX_SCORED_CHARS
 
+# queries whose oracle is a precomputed parquet of expected values
+# (independent Python path; scripts/make_expected.py regenerates)
+EXPECTED_DIR = os.path.join(_REPO_DIR, "expected")
+EXPECTED_QUERIES = [
+    "quality_filter_full",
+    "langid_surprisal",
+    "image_issues",
+    "image_near_dups",
+    "doc_fingerprints",
+    "near_duplicates",
+    "dedup_minhash",
+    "dedup_simhash_hamming",
+    "ann_lsh_indexed_topk",
+    "ann_ivf_indexed_topk",
+]
+
 def _epoch_s(colname: str):
     """Timezone-free epoch seconds for a TIMESTAMP_NTZ column: pure
     wall-clock arithmetic, matching DuckDB's floor(epoch(ts)) no matter
@@ -1343,75 +1359,97 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract queries, ordered so the SURVEY §2 cleanvision
+    contract comes first: the driver's CORRECTNESS file records at most
+    50 entries (r3 truncated at 50 of 68), so the dict is capped at 50
+    and ordered §2-core → media → text/dedup → corpus composition →
+    ANN → generic analytics.  Auxiliary/redundant projections moved to
+    extra_queries() (still oracle-checked by tests/test_oracle_smoke)."""
     return {
-        "tpch_q1": _q_tpch_q1,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "top_orders_per_customer": _q_top_orders_per_customer,
-        "event_sessions": _q_event_sessions,
-        "events_asof_signup": _q_events_asof_signup,
-        "events_in_signup_hour": _q_events_in_signup_hour,
-        "events_pivot": _q_events_pivot,
-        "orders_rollup": _q_orders_rollup,
-        "orders_cube": _q_orders_cube,
-        "customers_no_finished_order": _q_customers_no_finished_order,
-        "lineitem_quantiles": _q_lineitem_quantiles,
+        # --- SURVEY §2 cleanvision contract (P/M/J/A/T operators) ---
+        "quality_filter_full": _q_quality_filter_full,
+        "quality_filter_exprs": _q_quality_filter_exprs,
+        "exact_duplicates": _q_exact_duplicates,
+        "exact_duplicate_sets": _q_exact_duplicate_sets,
+        "largest_dup_sets": _q_largest_dup_sets,
+        "expression_issues": _q_expression_issues,
+        "optin_issues": _q_optin_issues,
+        "odd_size": _q_odd_size,
+        "issue_summary": _q_issue_summary,
+        "top_k_severe": _q_top_k_severe,
+        "prevalence_filter": _q_prevalence_filter,
+        "repo_issue_stats": _q_repo_issue_stats,
+        "langid_surprisal": _q_langid_surprisal,
+        "scrub_sha256": _q_scrub_sha256,
+        # --- literal media / image domain ---
+        "media_features": _q_media_features,
+        "image_issues": _q_image_issues,
+        "image_dup_scores": _q_image_dup_scores,
+        "image_near_dups": _q_image_near_dups,
+        # --- text analysis + dedup families ---
+        "quality_scores": _q_quality_scores,
+        "repetition_signals": _q_repetition_signals,
+        "doc_fingerprints": _q_doc_fingerprints,
         "near_duplicates": _q_near_duplicates,
         "dedup_normalized": _q_dedup_normalized,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_hamming": _q_dedup_simhash_hamming,
         "jaccard_pairs": _q_jaccard_pairs,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality_scores,
-        "repetition_signals": _q_repetition_signals,
-        "decontaminate_3gram": _q_decontaminate_3gram,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "pack_sequences": _q_pack_sequences,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dedup_incremental": _q_dedup_incremental,
+        # --- corpus composition ---
+        "corpus_build": _q_corpus_build,
+        "decontaminate_3gram": _q_decontaminate_3gram,
         "segment_dedup_first": _q_segment_dedup_first,
         "segment_boilerplate": _q_segment_boilerplate,
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
         "cap_per_source": _q_cap_per_source,
-        "cap_per_source_exact": _q_cap_per_source_exact,
         "mixture_sample": _q_mixture_sample,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "pack_sequences": _q_pack_sequences,
         "top_terms": _q_top_terms,
         "corpus_stats": _q_corpus_stats,
-        "dedup_incremental": _q_dedup_incremental,
-        "corpus_build": _q_corpus_build,
-        "corpus_build_minhash": _q_corpus_build_minhash,
-        "doc_fingerprints": _q_doc_fingerprints,
-        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        # --- similarity search ---
         "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_indexed_topk": _q_ann_lsh_indexed_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed_topk,
+        # --- generic analytics (flagship agg + event-time operators) ---
+        "tpch_q1": _q_tpch_q1,
+        "event_sessions": _q_event_sessions,
+        "events_asof_signup": _q_events_asof_signup,
+        "events_in_signup_hour": _q_events_in_signup_hour,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries moved out of the driver's 50-entry CORRECTNESS window —
+    redundant projections or secondary variants whose machinery is
+    already value-checked by an in-window query.  Still run against
+    their oracle_sql() entries by tests/test_oracle_smoke.py, so the
+    oracle evidence survives in pytest instead of CORRECTNESS_r{N}."""
+    return {
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "events_pivot": _q_events_pivot,
+        "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
+        "customers_no_finished_order": _q_customers_no_finished_order,
+        "lineitem_quantiles": _q_lineitem_quantiles,
+        "dedup_simhash": _q_dedup_simhash,
+        "token_counts": _q_token_counts,
+        "cap_per_source_exact": _q_cap_per_source_exact,
+        "corpus_build_minhash": _q_corpus_build_minhash,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_norms": _q_embedding_norms,
-        "scrub_sha256": _q_scrub_sha256,
-        "media_features": _q_media_features,
-        "image_issues": _q_image_issues,
-        "image_dup_scores": _q_image_dup_scores,
-        "image_near_dups": _q_image_near_dups,
-        "quality_filter_exprs": _q_quality_filter_exprs,
-        "quality_filter_full": _q_quality_filter_full,
-        "langid_surprisal": _q_langid_surprisal,
-        "exact_duplicates": _q_exact_duplicates,
         "exact_dup_normalized_hash": _q_exact_dup_normalized_hash,
-        "exact_duplicate_sets": _q_exact_duplicate_sets,
-        "largest_dup_sets": _q_largest_dup_sets,
         "text_properties": _q_text_properties,
         "char_entropy": _q_char_entropy,
-        "expression_issues": _q_expression_issues,
-        "optin_issues": _q_optin_issues,
-        "odd_size": _q_odd_size,
         "issue_pipeline": _q_issue_pipeline,
-        "issue_summary": _q_issue_summary,
-        "top_k_severe": _q_top_k_severe,
-        "prevalence_filter": _q_prevalence_filter,
-        "repo_issue_stats": _q_repo_issue_stats,
     }
 
 
@@ -2343,4 +2381,20 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE num_files::DOUBLE / (SELECT count(*) FROM allissues) < 0.5
         """,
+        # --- parquet-expected value oracles -------------------------------
+        # For the non-SQL-expressible queries (MinHash/SimHash/LSH/IVF,
+        # properties-UDF projections, pixel-domain image issues): the
+        # expected outputs are precomputed at sf0.01 by an INDEPENDENT
+        # driver-side path (DuckDB input CTEs + the pure-Python kernels +
+        # plain-dict grouping — scripts/make_expected.py, the same
+        # strategy as tests/test_dedup_values.py), committed under
+        # expected/sf0.01/, and compared hash-exact like any other
+        # oracle. Mirrors the reference's golden exact-value tests
+        # (/root/reference/tests/test_run.py:24-56). Valid at sf0.01
+        # (the driver's correctness scale); tests/test_oracle_smoke.py
+        # rewrites the path for its sf0.001 runs.
+        **{
+            q: f"SELECT * FROM read_parquet('{EXPECTED_DIR}/sf0.01/{q}.parquet')"
+            for q in EXPECTED_QUERIES
+        },
     }

@@ -1,0 +1,643 @@
+"""Precompute expected outputs for the driver-contract queries whose
+semantics are not SQL-expressible (MinHash/SimHash/LSH/IVF, the
+properties-UDF projections, pixel-domain image issues).
+
+The values come from an INDEPENDENT driver-side path — DuckDB for the
+input construction (the same planted CTEs the SQL oracles use) and the
+pure-Python kernels + plain-dict grouping logic (the strategy already
+used by tests/test_dedup_values.py and tests/test_imageqc.py) — NEVER
+from running the Spark queries themselves.  The driver's oracle for
+these queries then becomes ``SELECT * FROM read_parquet(...)`` over the
+files this script writes, turning the former rows-only checks into
+hash-exact CORRECTNESS rows (VERDICT r3, next-round item #2).
+
+Reference parity: the reference's own golden tests assert exact values
+(/root/reference/tests/test_run.py:24-56); the driver contract should
+too.
+
+Usage:  python scripts/make_expected.py [--sf sf0.001 sf0.01]
+Writes: expected/<sfname>/<query>.parquet  (committed to git)
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import struct
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as E  # noqa: E402  (CTE strings + CAP constant)
+from cleanvision_spark.functions.hashing import (  # noqa: E402
+    fingerprint64,
+    minhash_bands,
+    simhash64,
+)
+from cleanvision_spark.functions.langid import LANGS, predict_lang  # noqa: E402
+from cleanvision_spark.functions.perplexity import surprisal_quantiles  # noqa: E402
+from cleanvision_spark.operators.ann import (  # noqa: E402
+    ANN_SEED,
+    query_probe_buckets,
+    signs_for,
+)
+from cleanvision_spark.operators.imageqc import (  # noqa: E402
+    IMAGE_HASHERS,
+    _decode_image,
+    _props_one,
+)
+
+TESTDATA = "/root/testdata"
+
+
+def spark_round(x: float | None, n: int = 6) -> float | None:
+    """Replicate Spark's round(): BigDecimal(Double.toString(x)) HALF_UP.
+    Python's repr() is the same shortest-roundtrip decimal string."""
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return x
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )
+
+
+def to_i64(v: int) -> int:
+    """uint64 -> signed int64 (Spark LongType wrap)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+# --- Spark-compatible xxhash64 over a LongType column ----------------------
+# XXH64 (public spec, xxhash.com) of the value's 8 little-endian bytes with
+# Spark's fixed seed 42 — mirrors F.xxhash64(long_col) so ivf_fit's
+# deterministic hash-slice sample can be reproduced without Spark.
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxhash64_long(v: int, seed: int = 42) -> int:
+    """XXH64 of one 8-byte little-endian long (Spark XxHash64.hashLong)."""
+    h = (seed + _P5 + 8) & _M
+    k = (v & _M) * _P2 & _M
+    k = _rotl(k, 31) * _P1 & _M
+    h ^= k
+    h = (_rotl(h, 27) * _P1 + _P4) & _M
+    h ^= h >> 33
+    h = h * _P2 & _M
+    h ^= h >> 29
+    h = h * _P3 & _M
+    h ^= h >> 32
+    return to_i64(h)
+
+
+# --- inputs (DuckDB, the same CTEs the SQL oracles use) --------------------
+
+
+def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def docs_pdf(con) -> pd.DataFrame:
+    return con.execute(
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id"
+    ).df()
+
+
+def docs_planted_pdf(con) -> pd.DataFrame:
+    return con.execute(
+        f"WITH {E.DOCS_PLANTED_CTE.strip()} SELECT * FROM docs_p ORDER BY doc_id"
+    ).df()
+
+
+def corpus_pdf(con) -> pd.DataFrame:
+    return con.execute(
+        f"WITH {E.CORPUS_CTE.strip().rstrip()} SELECT * FROM corpus"
+    ).df()
+
+
+def corpus_planted_pdf(con) -> pd.DataFrame:
+    return con.execute(
+        f"WITH {E.CORPUS_PLANTED_CTE} SELECT * FROM corpus_p"
+    ).df()
+
+
+def embeddings_pdf(con) -> pd.DataFrame:
+    return con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).df()
+
+
+# --- expected builders (one per query) -------------------------------------
+
+
+def exp_doc_fingerprints(con) -> tuple[pd.DataFrame, pa.Schema]:
+    d = docs_pdf(con)
+    out = pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].astype("int64"),
+            "fingerprint": [to_i64(fingerprint64(t)) for t in d["text"]],
+        }
+    )
+    return out, pa.schema([("doc_id", pa.int64()), ("fingerprint", pa.int64())])
+
+
+def exp_dedup_minhash(con) -> tuple[pd.DataFrame, pa.Schema]:
+    d = docs_planted_pdf(con)
+    buckets: dict[int, list[int]] = {}
+    for did, text in zip(d["doc_id"], d["text"]):
+        for bh in minhash_bands(text):
+            buckets.setdefault(bh, []).append(int(did))
+    per_k: dict[int, int] = {}
+    per_min: dict[int, int] = {}
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        m = min(ids)
+        for i in ids:
+            per_k[i] = max(per_k.get(i, 0), len(ids))
+            per_min[i] = min(per_min.get(i, m), m)
+    rows = []
+    for did in d["doc_id"]:
+        i = int(did)
+        k = per_k.get(i)
+        rows.append(
+            {
+                "doc_id": i,
+                "dedup_score": spark_round(1.0 / k if k else 1.0, 6),
+                "is_near_duplicate": k is not None,
+                "is_canonical": k is None or per_min[i] == i,
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out, pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("dedup_score", pa.float64()),
+            ("is_near_duplicate", pa.bool_()),
+            ("is_canonical", pa.bool_()),
+        ]
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over a uint64 array (numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def exp_dedup_simhash_hamming(con, max_hamming: int = 3) -> tuple[pd.DataFrame, pa.Schema]:
+    d = docs_pdf(con)
+    ids = d["doc_id"].astype("int64").to_numpy()
+    h = np.array([simhash64(t) & ((1 << 64) - 1) for t in d["text"]], dtype=np.uint64)
+    rows = []
+    # chunked all-pairs popcount (pigeonhole guarantees hamming<=3 pairs
+    # always share a 16-bit block, so candidate = all-pairs is exhaustive)
+    for i in range(len(ids)):
+        ham = _popcount64(h[i + 1 :] ^ h[i])
+        for j in np.nonzero(ham <= max_hamming)[0]:
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            lo, hi = (a, b) if a < b else (b, a)
+            rows.append({"id_a": lo, "id_b": hi, "hamming": int(ham[j])})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    out["hamming"] = out["hamming"].astype("int32")
+    return out, pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+    )
+
+
+def _near_dup_marks(c: pd.DataFrame, max_chars: int = 65536) -> pd.DataFrame:
+    """operators/duplicates.near_duplicate_scores replica: bucket
+    qualifies only when it spans >=2 distinct sha256 (J4 near-minus-exact);
+    k = max qualifying bucket ROW count; canonical = min key tuple."""
+    keys = list(zip(c["repo"], c["path"], c["commit"]))
+    shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in c["content"]]
+    buckets: dict[int, list[int]] = {}
+    for idx, text in enumerate(c["content"]):
+        for bh in minhash_bands(text[:max_chars]):
+            buckets.setdefault(bh, []).append(idx)
+    nk: dict[int, int] = {}
+    nmin: dict[int, tuple] = {}
+    for rows_ in buckets.values():
+        if len({shas[i] for i in rows_}) < 2:
+            continue
+        bcnt = len(rows_)
+        bmin = min(keys[i] for i in rows_)
+        for i in rows_:
+            nk[i] = max(nk.get(i, 0), bcnt)
+            nmin[i] = min(nmin.get(i, bmin), bmin)
+    return pd.DataFrame(
+        {
+            "repo": c["repo"],
+            "path": c["path"],
+            "commit": c["commit"],
+            "near_duplicates_score": [
+                spark_round(1.0 / nk[i] if i in nk else 1.0, 6)
+                for i in range(len(keys))
+            ],
+            "is_near_duplicates_issue": [i in nk for i in range(len(keys))],
+            "_is_canonical_near_duplicates": [
+                i not in nk or nmin[i] == keys[i] for i in range(len(keys))
+            ],
+        }
+    )
+
+
+NEAR_DUP_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("near_duplicates_score", pa.float64()),
+        ("is_near_duplicates_issue", pa.bool_()),
+        ("_is_canonical_near_duplicates", pa.bool_()),
+    ]
+)
+
+
+def exp_near_duplicates(con) -> tuple[pd.DataFrame, pa.Schema]:
+    return _near_dup_marks(corpus_planted_pdf(con)), NEAR_DUP_SCHEMA
+
+
+def exp_langid_surprisal(con) -> tuple[pd.DataFrame, pa.Schema]:
+    c = corpus_pdf(con)
+    out = pd.DataFrame(
+        {
+            "repo": c["repo"],
+            "path": c["path"],
+            "commit": c["commit"],
+            "lang_pred": [predict_lang(t) for t in c["content"]],
+            "q_p99_score": [
+                spark_round(surprisal_quantiles(t)["q_p99"], 6) for t in c["content"]
+            ],
+        }
+    )
+    return out, pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("lang_pred", pa.string()),
+            ("q_p99_score", pa.float64()),
+        ]
+    )
+
+
+def exp_quality_filter_full(con) -> tuple[pd.DataFrame, pa.Schema]:
+    """SQL-expressible columns from the quality_filter_exprs oracle
+    (DuckDB), UDF columns from the Python kernels, keep from both —
+    mirrors plans/pipeline.quality_filter + operators/decision."""
+    exprs = con.execute(E.oracle_sql()["quality_filter_exprs"]).df()
+    c = corpus_pdf(con)
+    # UDF row issues (operators/builders.py dark/light/grayscale)
+    dark_s, dark_f, light_s, light_f, gray_s, gray_f = [], [], [], [], [], []
+    for lang, text in zip(c["lang"], c["content"]):
+        q = surprisal_quantiles(text)
+        d9 = spark_round(q["q_p99"], 9)
+        l9 = spark_round(1.0 - q["q_mean"], 9)
+        dark_s.append(spark_round(d9, 6))
+        dark_f.append(d9 < 0.32)
+        light_s.append(spark_round(l9, 6))
+        light_f.append(l9 < 0.5)
+        known = lang in LANGS if lang is not None else False
+        gs = 1.0 if (not known or predict_lang(text) == lang) else 0.0
+        gray_s.append(gs)
+        gray_f.append(gs == 0.0)
+    udf = pd.DataFrame(
+        {
+            "repo": c["repo"],
+            "path": c["path"],
+            "commit": c["commit"],
+            "dark_score": dark_s,
+            "is_dark_issue": dark_f,
+            "light_score": light_s,
+            "is_light_issue": light_f,
+            "grayscale_score": gray_s,
+            "is_grayscale_issue": gray_f,
+        }
+    )
+    near = _near_dup_marks(c)
+    # exact-duplicate canonical member (decision.py dup_drop needs it)
+    keys = list(zip(c["repo"], c["path"], c["commit"]))
+    shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in c["content"]]
+    canon: dict[str, tuple] = {}
+    for k, s in zip(keys, shas):
+        canon[s] = min(canon.get(s, k), k)
+    exact_canon = pd.DataFrame(
+        {
+            "repo": c["repo"],
+            "path": c["path"],
+            "commit": c["commit"],
+            "_canon_exact": [canon[s] == k for k, s in zip(keys, shas)],
+        }
+    )
+    m = exprs.merge(udf, on=E.KEYS).merge(near, on=E.KEYS).merge(exact_canon, on=E.KEYS)
+    assert len(m) == len(exprs) == len(c), "key-join lost rows"
+    quality_drop = (
+        m["is_dark_issue"]
+        | m["is_light_issue"]
+        | m["is_odd_aspect_ratio_issue"]
+        | m["is_low_information_issue"]
+        | m["is_blurry_issue"]
+        | m["is_grayscale_issue"]
+        | m["is_odd_size_issue"]
+    )
+    dup_drop = (m["is_exact_duplicates_issue"] & ~m["_canon_exact"]) | (
+        m["is_near_duplicates_issue"] & ~m["_is_canonical_near_duplicates"]
+    )
+    m["keep"] = ~(quality_drop | dup_drop)
+    score_flag = sorted(
+        col
+        for col in m.columns
+        if (col.endswith("_score") or col.startswith("is_"))
+        and col not in ("_canon_exact",)
+    )
+    cols = [*E.KEYS, *score_flag, "keep", "sha256_scrubbed"]
+    out = m[cols]
+    fields = []
+    for col in cols:
+        if col.endswith("_score"):
+            fields.append((col, pa.float64()))
+        elif col.startswith("is_") or col == "keep":
+            fields.append((col, pa.bool_()))
+        else:
+            fields.append((col, pa.string()))
+    return out, pa.schema(fields)
+
+
+def _payload(text: str) -> bytes:
+    """Mirror of the Catalyst payload synthesis in _q_image_issues:
+    'P5\\n32 32\\n255\\n' + rpad(text, 1024, 'x'), UTF-8 encoded."""
+    padded = (text + "x" * max(0, 1024 - len(text)))[:1024]
+    return ("P5\n32 32\n255\n" + padded).encode("utf-8")
+
+
+# pure-Python replica of operators/imageqc.image_issue_scores (same
+# formulas, same rounded-props inputs, exact F.percentile interpolation)
+_IMG_P = {
+    "dark": 0.32,
+    "light": 0.05,
+    "odd_aspect_ratio": 0.35,
+    "low_information": (0.3, 0.1),
+    "blurry": (0.29, 0.01, 0.18),
+    "odd_size_iqr": 3.0,
+}
+
+
+def _pct(sorted_vals: list[float], p: float) -> float:
+    """F.percentile / numpy 'linear' interpolation replica."""
+    n = len(sorted_vals)
+    idx = p * (n - 1)
+    lo = int(math.floor(idx))
+    hi = int(math.ceil(idx))
+    if lo == hi:
+        return sorted_vals[lo]
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (idx - lo)
+
+
+def _image_issue_rows(media: list[tuple[int, bytes]]) -> list[dict]:
+    props = [
+        _props_one(mid, None, decoded=_decode_image(payload))
+        for mid, payload in media
+    ]
+    sizes = sorted(p["size"] for p in props if p["size"] is not None)
+    q1, q3 = _pct(sizes, 0.25), _pct(sizes, 0.75)
+    f = _IMG_P["odd_size_iqr"]
+    min_thr, max_thr = q1 - f * (q3 - q1), q3 + f * (q3 - q1)
+    mid_thr, thr_gap = (min_thr + max_thr) / 2, max_thr - min_thr
+    rows = []
+    for p in props:
+        r: dict = {
+            "media_id": p["media_id"],
+            "format": p["format"],
+            "width": p["width"],
+            "height": p["height"],
+        }
+        if p["size"] is None:
+            for issue in (
+                "dark", "light", "odd_aspect_ratio", "low_information",
+                "blurry", "grayscale", "odd_size",
+            ):
+                r[f"{issue}_score"] = None
+                r[f"is_{issue}_issue"] = None
+            rows.append(r)
+            continue
+        clip = lambda v: min(max(v, 0.0), 1.0)  # noqa: E731
+        r["dark_score"] = spark_round(p["brightness_perc_99"], 6)
+        r["is_dark_issue"] = p["brightness_perc_99"] < _IMG_P["dark"]
+        light = 1.0 - p["brightness_perc_5"]
+        r["light_score"] = spark_round(light, 6)
+        r["is_light_issue"] = light < _IMG_P["light"]
+        r["odd_aspect_ratio_score"] = spark_round(p["aspect_ratio"], 6)
+        r["is_odd_aspect_ratio_issue"] = p["aspect_ratio"] < _IMG_P["odd_aspect_ratio"]
+        li_thr, li_nf = _IMG_P["low_information"]
+        li = clip(li_nf * p["entropy"])
+        r["low_information_score"] = spark_round(li, 6)
+        r["is_low_information_issue"] = li < li_thr
+        b_thr, b_nf, b_color = _IMG_P["blurry"]
+        blur_raw = 1.0 - math.exp(-b_nf * p["blurriness"])
+        std_raw = 1.0 - math.exp(-b_nf * p["gray_std"])
+        std_term = 0.0 if std_raw <= b_color else std_raw
+        blurry = min(blur_raw + std_term, 1.0)
+        r["blurry_score"] = spark_round(blurry, 6)
+        r["is_blurry_issue"] = blurry < b_thr
+        gs = 0.0 if p["color_space"] == "L" else 1.0
+        r["grayscale_score"] = gs
+        r["is_grayscale_issue"] = gs == 0.0
+        norm = thr_gap if thr_gap > 0 else mid_thr
+        os_score = 1.0 - clip(abs(p["size"] - mid_thr) / norm)
+        r["odd_size_score"] = spark_round(os_score, 6)
+        r["is_odd_size_issue"] = os_score < (0.5 if thr_gap > 0 else 1.0)
+        rows.append(r)
+    return rows
+
+
+def exp_image_issues(con) -> tuple[pd.DataFrame, pa.Schema]:
+    d = docs_pdf(con)
+    media = [(int(i), _payload(t)) for i, t in zip(d["doc_id"], d["text"])]
+    rows = _image_issue_rows(media)
+    score_flag = sorted(
+        c for c in rows[0] if c.endswith("_score") or c.startswith("is_")
+    )
+    cols = ["media_id", "format", "width", "height", *score_flag]
+    out = pd.DataFrame(rows)[cols]
+    fields = [
+        ("media_id", pa.int64()),
+        ("format", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ] + [
+        (c, pa.float64() if c.endswith("_score") else pa.bool_()) for c in score_flag
+    ]
+    return out, pa.schema(fields)
+
+
+def exp_image_near_dups(con) -> tuple[pd.DataFrame, pa.Schema]:
+    d = docs_pdf(con)
+    media = [(int(i), _payload(t)) for i, t in zip(d["doc_id"], d["text"])]
+    media += [
+        (int(i) + 3000000, _payload(t))
+        for i, t in zip(d["doc_id"], d["text"])
+        if int(i) < 8
+    ]
+    hashes = []
+    for mid, payload in media:
+        _, img = _decode_image(payload)
+        hashes.append(
+            (mid, format(IMAGE_HASHERS["phash"](img) & ((1 << 64) - 1), "016x"))
+        )
+    groups: dict[str, list[int]] = {}
+    for mid, hx in hashes:
+        groups.setdefault(hx, []).append(mid)
+    rows = []
+    for mid, hx in hashes:
+        k = len(groups[hx])
+        rows.append(
+            {
+                "media_id": mid,
+                "img_hash": hx,
+                "dup_count": k,
+                "dup_score": spark_round(1.0 / k, 6),
+                "is_duplicate": k > 1,
+                "is_canonical": min(groups[hx]) == mid,
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return out, pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("img_hash", pa.string()),
+            ("dup_count", pa.int64()),
+            ("dup_score", pa.float64()),
+            ("is_duplicate", pa.bool_()),
+            ("is_canonical", pa.bool_()),
+        ]
+    )
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    """cosine_expr replica: left-fold double sums over float32 inputs."""
+
+    def dot(x, y):
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc += float(xi) * float(yi)
+        return acc
+
+    return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+
+def _topk(cands: list[tuple[int, list[float]]], qv: list[float], k: int) -> pd.DataFrame:
+    scored = [
+        (vid, spark_round(_cosine(vec, qv), 6)) for vid, vec in cands
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return pd.DataFrame(scored[:k], columns=["vec_id", "cosine"])
+
+
+ANN_SCHEMA = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+
+
+def exp_ann_lsh_indexed_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
+    e = embeddings_pdf(con)
+    vecs = [(int(i), list(v)) for i, v in zip(e["vec_id"], e["embedding"])]
+    qv = [float(v) for v in dict(vecs)[0]]
+    mat = np.array([v for _, v in vecs], dtype=np.float64)
+    buckets = signs_for(mat)  # (n, N_TABLES)
+    probes = set(query_probe_buckets(qv, multiprobe=1))
+    cands = [
+        (vid, vec)
+        for (vid, vec), row in zip(vecs, buckets)
+        if probes & set(int(b) for b in row)
+    ]
+    return _topk(cands, qv, 10), ANN_SCHEMA
+
+
+def exp_ann_ivf_indexed_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
+    e = embeddings_pdf(con)
+    vecs = [(int(i), list(v)) for i, v in zip(e["vec_id"], e["embedding"])]
+    qv = [float(v) for v in dict(vecs)[0]]
+    # ivf_fit replica: 512-row hash-slice sample (xxhash64 asc, id tiebreak)
+    order = sorted(vecs, key=lambda t: (xxhash64_long(t[0]), t[0]))[:512]
+    mat = np.array([v for _, v in order], dtype=np.float64)
+    rng = np.random.default_rng(ANN_SEED)
+    centroids = mat[rng.choice(len(mat), size=min(16, len(mat)), replace=False)]
+    for _ in range(10):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for ci in range(len(centroids)):
+            members = mat[assign == ci]
+            if len(members):
+                centroids[ci] = members.mean(axis=0)
+    q = np.array(qv, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:4]]
+    all_mat = np.array([v for _, v in vecs], dtype=np.float64)
+    dists = ((all_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    assigned = dists.argmin(axis=1)
+    cands = [
+        (vid, vec) for (vid, vec), a in zip(vecs, assigned) if int(a) in probes
+    ]
+    return _topk(cands, qv, 10), ANN_SCHEMA
+
+
+BUILDERS = {
+    "doc_fingerprints": exp_doc_fingerprints,
+    "dedup_minhash": exp_dedup_minhash,
+    "dedup_simhash_hamming": exp_dedup_simhash_hamming,
+    "near_duplicates": exp_near_duplicates,
+    "langid_surprisal": exp_langid_surprisal,
+    "quality_filter_full": exp_quality_filter_full,
+    "image_issues": exp_image_issues,
+    "image_near_dups": exp_image_near_dups,
+    "ann_lsh_indexed_topk": exp_ann_lsh_indexed_topk,
+    "ann_ivf_indexed_topk": exp_ann_ivf_indexed_topk,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", nargs="+", default=["sf0.001", "sf0.01"])
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+    for sf in args.sf:
+        sf_dir = f"{TESTDATA}/{sf}"
+        out_dir = os.path.join(REPO, "expected", sf)
+        os.makedirs(out_dir, exist_ok=True)
+        con = connect(sf_dir)
+        for name, fn in BUILDERS.items():
+            if args.only and name not in args.only:
+                continue
+            df, schema = fn(con)
+            table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+            pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+            print(f"{sf}/{name}: {len(df)} rows")
+        con.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,14 @@ from tests.oracle_util import assert_matches_oracle
 SF_DIR = "/root/testdata/sf0.001"
 
 ORACLES = entrymod.oracle_sql()
-QUERY_KEYS = sorted(entrymod.queries().keys())
+ALL_QUERIES = {**entrymod.queries(), **entrymod.extra_queries()}
+QUERY_KEYS = sorted(ALL_QUERIES.keys())
+
+
+def test_driver_window_cap():
+    """The driver's CORRECTNESS file records at most 50 entries (r3
+    truncated at 50 of 68) — keep every contract query inside it."""
+    assert len(entrymod.queries()) <= 50
 
 
 def test_entry_smoke(spark):
@@ -22,9 +29,14 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("key", QUERY_KEYS)
 def test_query_vs_oracle(spark, key):
-    fn = entrymod.queries()[key]
+    fn = ALL_QUERIES[key]
     df = fn(spark, SF_DIR)
     if key not in ORACLES:
         assert df.count() >= 0  # rows-only check, like the driver
         return
-    assert_matches_oracle(df, ORACLES[key], SF_DIR)
+    sql = ORACLES[key]
+    if key in entrymod.EXPECTED_QUERIES:
+        # parquet-expected oracles are canonical at the driver's sf0.01;
+        # this suite runs at sf0.001 — point at that scale's files
+        sql = sql.replace("/sf0.01/", "/sf0.001/")
+    assert_matches_oracle(df, sql, SF_DIR)
