@@ -347,16 +347,22 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0, 8-bit, Huffman) JPEG to (h, w, c) uint8
-    with stdlib + numpy only: marker walk, canonical Huffman entropy
-    decode, dequantize + de-zigzag, integer 8x8 IDCT, chroma upsample,
-    integer YCbCr->RGB. Grayscale, 4:4:4 and subsampled (e.g. 4:2:0)
-    layouts; restart markers honored. Progressive (SOF2) / 12-bit /
-    arithmetic variants raise UnsupportedMediaVariant; structural
-    damage raises ValueError ('corrupt' rows in decode_media).
+    """Decode a baseline (SOF0/1) or progressive (SOF2) 8-bit Huffman
+    JPEG to (h, w, c) uint8 with stdlib + numpy only: marker walk,
+    canonical Huffman entropy decode into per-component coefficient
+    arrays (progressive scans — spectral selection + successive
+    approximation, T.81 G.2 — accumulate across scans), then one shared
+    dequantize + de-zigzag + integer 8x8 IDCT + chroma upsample +
+    integer YCbCr->RGB pass. Grayscale, 4:4:4 and subsampled (e.g.
+    4:2:0) layouts; restart markers honored; sequential multi-scan
+    (non-interleaved component scans) supported. 12-bit / arithmetic /
+    lossless/hierarchical variants raise UnsupportedMediaVariant;
+    structural damage raises ValueError ('corrupt' rows in
+    decode_media).
 
     Covers the reference's decode step (fsspec_dataset.py:55-59) for
-    the dominant lossy format. Entropy decode is per-block Python (a
+    the dominant lossy format, including the progressive variant that
+    dominates web-crawled JPEGs. Entropy decode is per-block Python (a
     real deployment swaps in PIL/turbojpeg via the same interface);
     everything after it is vectorized/exact-integer numpy."""
     if b[:2] != b"\xff\xd8":
@@ -366,8 +372,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, qid)]
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(b):
+    state: _JpegCoeffState | None = None
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
@@ -378,8 +386,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("no scan data")
+        if marker == 0xD9:  # EOI
+            break
         ln = int.from_bytes(b[pos : pos + 2], "big")
         seg = b[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT
@@ -401,7 +409,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 tbl = _build_huffman(counts, seg[i + 17 : i + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise UnsupportedMediaVariant("multi-frame JPEG")
             if seg[0] != 8:
                 raise UnsupportedMediaVariant("non-8-bit JPEG")
             h = int.from_bytes(seg[1:3], "big")
@@ -412,41 +422,38 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise UnsupportedMediaVariant("non-baseline JPEG (progressive/arith)")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaVariant("non-baseline JPEG (lossless/arith)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []  # (cid, dc_table_id, ac_table_id) in scan order
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cs] = (td_ta >> 4, td_ta & 15)
-            data_start = pos + ln
-            return _decode_jpeg_scan(
-                b, data_start, frame, qt, huff_dc, huff_ac, scan_tables,
-                restart_interval,
+                scan_comps.append((cs, td_ta >> 4, td_ta & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
+            if state is None:
+                state = _JpegCoeffState(frame)
+            pos = state.decode_scan(
+                b, pos + ln, scan_comps, ss, se, ah, al,
+                progressive, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += ln
-    raise ValueError("no SOS marker found")
+    if state is None or not state.any_scan:
+        raise ValueError("no SOS marker found")
+    return state.assemble(qt)
 
 
-def _decode_jpeg_scan(
-    b: bytes,
-    start: int,
-    frame,
-    qt,
-    huff_dc,
-    huff_ac,
-    scan_tables,
-    restart_interval: int,
-) -> np.ndarray:
-    h, w, comps = frame
-    if h == 0 or w == 0 or not comps:
-        raise ValueError("bad JPEG frame")
-    # destuff: 0xFF00 -> 0xFF; RSTn markers recorded as segment breaks
+def _destuff(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Destuffed entropy segments (0xFF00 -> 0xFF; RSTn = segment break)
+    and the position of the first non-RST marker after the data."""
     segments: list[bytes] = []
     cur = bytearray()
     i = start
@@ -468,89 +475,264 @@ def _decode_jpeg_scan(
         cur.append(byte)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for cid, hs, vs, tq in comps:
-        if tq not in qt:
-            raise ValueError("missing quant table")
-        if cid not in scan_tables:
-            raise ValueError("scan component mismatch")
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64))
 
-    m = _idct_matrix_int()
-    shift = 2 * _IDCT_SCALE_BITS
-    half = 1 << (shift - 1)
-    pred = [0] * len(comps)
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+class _JpegCoeffState:
+    """Per-component DCT coefficient accumulator shared by baseline and
+    progressive decoding: every scan (T.81 G.2 — DC/AC, first pass or
+    successive-approximation refinement, interleaved or single-
+    component) writes into the same zigzag-order arrays; ``assemble``
+    then dequantizes and runs one vectorized integer IDCT."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        if h == 0 or w == 0 or not comps:
+            raise ValueError("bad JPEG frame")
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        # (blocks_y, blocks_x, 64) zigzag-order coefficients per component
+        self.coef = [
+            np.zeros((self.mcuy * vs, self.mcux * hs, 64), dtype=np.int64)
+            for _, hs, vs, _ in comps
+        ]
+        # non-interleaved scans cover only the component's own block grid
+        # (T.81 A.1.1: comp dims = ceil(dim * sampling / max_sampling))
+        cdiv = lambda a, b: -(-a // b)  # noqa: E731
+        self.nblocks = [
+            (cdiv(cdiv(h * vs, self.vmax), 8), cdiv(cdiv(w * hs, self.hmax), 8))
+            for _, hs, vs, _ in comps
+        ]
+        self.any_scan = False
+
+    def decode_scan(
+        self, b, data_start, scan_comps, ss, se, ah, al,
+        progressive, huff_dc, huff_ac, restart_interval,
+    ) -> int:
+        """Decode one entropy-coded scan starting at ``data_start``;
+        returns the stream position of the next marker."""
+        segments, end_pos = _destuff(b, data_start)
+        idx = []  # (component index, dc table, ac table)
+        for cid, td, ta in scan_comps:
+            ci = next(
+                (i for i, c in enumerate(self.comps) if c[0] == cid), None
+            )
+            if ci is None:
+                raise ValueError("scan component mismatch")
+            idx.append((ci, huff_dc.get(td), huff_ac.get(ta)))
+        if progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("bad progressive DC band")
+            if ss > 0 and len(idx) != 1:
+                raise ValueError("interleaved progressive AC scan")
+        else:
+            ss, se, ah, al = 0, 63, 0, 0
+        interleaved = len(idx) > 1
+        units = (
+            self.mcuy * self.mcux
+            if interleaved
+            else self.nblocks[idx[0][0]][0] * self.nblocks[idx[0][0]][1]
+        )
+        pred = [0] * len(self.comps)
+        eobrun = 0
+        seg_idx = 0
+        br = _BitReader(segments[0])
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
                 seg_idx += 1
                 if seg_idx >= len(segments):
                     raise ValueError("missing restart segment")
                 br = _BitReader(segments[seg_idx])
-                pred = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_tbl = huff_dc.get(scan_tables[cid][0])
-                ac_tbl = huff_ac.get(scan_tables[cid][1])
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("missing huffman table")
-                q = qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coeffs = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(br, dc_tbl)
-                        diff = _extend(br.bits(t), t)
-                        pred[ci] += diff
-                        coeffs[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            coeffs[k] = _extend(br.bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int64)
-                        block[_ZIGZAG] = coeffs * q
-                        blk = block.reshape(8, 8)
-                        px = (m.T @ blk @ m + half) >> shift
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px + 128
-            mcu_count += 1
+                pred = [0] * len(self.comps)
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(u, self.mcux)
+                for ci, dc_tbl, ac_tbl in idx:
+                    _, hs, vs, _ = self.comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = self.coef[ci][my * vs + by, mx * hs + bx]
+                            if ss == 0 and ah == 0:
+                                pred[ci] = self._dc_first(
+                                    br, dc_tbl, zz, pred[ci], al
+                                )
+                                if not progressive:
+                                    self._ac_sequential(br, ac_tbl, zz)
+                            elif ss == 0:
+                                self._dc_refine(br, zz, al)
+                            else:  # pragma: no cover - guarded above
+                                raise ValueError("interleaved AC scan")
+            else:
+                ci, dc_tbl, ac_tbl = idx[0]
+                bh, bw = self.nblocks[ci]
+                by, bx = divmod(u, bw)
+                zz = self.coef[ci][by, bx]
+                if ss == 0 and ah == 0:
+                    pred[ci] = self._dc_first(br, dc_tbl, zz, pred[ci], al)
+                    if not progressive:
+                        self._ac_sequential(br, ac_tbl, zz)
+                elif ss == 0:
+                    self._dc_refine(br, zz, al)
+                elif ah == 0:
+                    eobrun = self._ac_first(br, ac_tbl, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine(br, ac_tbl, zz, ss, se, al, eobrun)
+        self.any_scan = True
+        return end_pos
 
-    # crop + upsample each plane to full resolution (pixel replication,
-    # integer-exact)
-    out_planes = []
-    for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, hmax // hs, axis=1), vmax // vs, axis=0)
-        out_planes.append(np.clip(p[:h, :w], 0, 255))
-    if len(out_planes) == 1:
-        return out_planes[0].astype(np.uint8)[:, :, None]
-    if len(out_planes) != 3:
-        raise UnsupportedMediaVariant(f"{len(out_planes)}-component JPEG")
-    # integer YCbCr->RGB (ITU-R 601, x65536 fixed point)
-    y = out_planes[0]
-    cb = out_planes[1] - 128
-    cr = out_planes[2] - 128
-    r = y + ((91881 * cr + 32768) >> 16)
-    g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
-    bl = y + ((116130 * cb + 32768) >> 16)
-    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+    @staticmethod
+    def _dc_first(br, dc_tbl, zz, pred: int, al: int) -> int:
+        if dc_tbl is None:
+            raise ValueError("missing huffman table")
+        t = _huff_decode(br, dc_tbl)
+        pred += _extend(br.bits(t), t)
+        zz[0] = pred << al
+        return pred
+
+    @staticmethod
+    def _dc_refine(br, zz, al: int) -> None:
+        """Successive-approximation DC bit (T.81 G.2: one appended
+        magnitude bit; two's-complement OR handles negative values)."""
+        if br.bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+    @staticmethod
+    def _ac_sequential(br, ac_tbl, zz) -> None:
+        if ac_tbl is None:
+            raise ValueError("missing huffman table")
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflow")
+            zz[k] = _extend(br.bits(s), s)
+            k += 1
+
+    @staticmethod
+    def _ac_first(br, ac_tbl, zz, ss, se, al, eobrun: int) -> int:
+        """First AC pass of a spectral band (T.81 G.2.2): values enter
+        at point transform ``al``; EOB runs span whole blocks."""
+        if eobrun > 0:
+            return eobrun - 1
+        if ac_tbl is None:
+            raise ValueError("missing huffman table")
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run overflow")
+            zz[k] = _extend(br.bits(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(br, ac_tbl, zz, ss, se, al, eobrun: int) -> int:
+        """AC successive-approximation refinement (T.81 G.1.2.3): newly
+        nonzero coefficients enter as ±1<<al; coefficients with prior
+        history receive one appended magnitude ("correction") bit."""
+        if ac_tbl is None:
+            raise ValueError("missing huffman table")
+        p1 = 1 << al
+
+        def correct(k: int) -> None:
+            if br.bit() and not (abs(int(zz[k])) & p1):
+                zz[k] = int(zz[k]) + (p1 if zz[k] > 0 else -p1)
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, ac_tbl)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOB run starts at (and includes) this block
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15 (ZRL): skip 16 zero-history coefficients
+                elif s == 1:
+                    newval = p1 if br.bit() else -p1
+                else:
+                    raise ValueError("bad refinement magnitude")
+                # advance over r zero-history coefficients, emitting
+                # correction bits for nonzero-history ones on the way
+                while k <= se:
+                    if zz[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("AC refine overflow")
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # EOB block: correction bits only
+                if zz[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def assemble(self, qt) -> np.ndarray:
+        """Dequantize + de-zigzag + vectorized integer IDCT + upsample +
+        color conversion — identical math for baseline and progressive."""
+        m = _idct_matrix_int()
+        shift = 2 * _IDCT_SCALE_BITS
+        half = 1 << (shift - 1)
+        out_planes = []
+        for ci, (cid, hs, vs, tq) in enumerate(self.comps):
+            if tq not in qt:
+                raise ValueError("missing quant table")
+            bh, bw, _ = self.coef[ci].shape
+            blocks = np.zeros((bh * bw, 64), dtype=np.int64)
+            blocks[:, _ZIGZAG] = self.coef[ci].reshape(-1, 64) * qt[tq]
+            blk = blocks.reshape(-1, 8, 8)
+            px = (np.einsum("ij,njk,kl->nil", m.T, blk, m) + half) >> shift
+            plane = (
+                px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+                + 128
+            )
+            plane = np.repeat(
+                np.repeat(plane, self.hmax // hs, axis=1), self.vmax // vs, axis=0
+            )
+            out_planes.append(np.clip(plane[: self.h, : self.w], 0, 255))
+        if len(out_planes) == 1:
+            return out_planes[0].astype(np.uint8)[:, :, None]
+        if len(out_planes) != 3:
+            raise UnsupportedMediaVariant(f"{len(out_planes)}-component JPEG")
+        # integer YCbCr->RGB (ITU-R 601, x65536 fixed point)
+        y = out_planes[0]
+        cb = out_planes[1] - 128
+        cr = out_planes[2] - 128
+        r = y + ((91881 * cr + 32768) >> 16)
+        g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+        bl = y + ((116130 * cb + 32768) >> 16)
+        return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:

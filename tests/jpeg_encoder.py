@@ -198,3 +198,282 @@ def encode_jpeg(
             mcu_count += 1
     data += bw.flush()
     return out + data + _marker(0xD9)
+
+
+# --- progressive (SOF2) encoder --------------------------------------------
+# Independent forward path for the decoder's progressive machinery:
+# spectral selection, successive approximation (DC and AC refinement
+# scans), EOB runs, ZRL-in-refinement. Same all-ones quant tables.
+
+# AC table for progressive scans additionally needs EOBn symbols
+# (run<<4 | 0 for run category 1..14)
+ACP_SYMBOLS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 13)]
+)
+ACP_COUNTS = [0] * 8 + [0, len(ACP_SYMBOLS)] + [0] * 6
+ACP_CODES = _canonical_codes(ACP_COUNTS, ACP_SYMBOLS)
+
+
+def _quantized_blocks(plane: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) zigzag-order quantized (q=1) coefficients."""
+    h, w = plane.shape
+    out = np.zeros((h // 8, w // 8, 64), dtype=np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+            c = np.round(_dct2(block.astype(np.float64) - 128.0)).astype(np.int64)
+            out[by, bx] = c.ravel()[ZIGZAG]
+    return out
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + EOB-run bookkeeping for progressive AC scans."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.pending: list[int] = []  # buffered correction bits
+
+    def sym(self, codes, s):
+        ln, code = codes[s]
+        self.write(code, ln)
+
+    def flush_eob(self):
+        if self.eobrun == 0 and not self.pending:
+            return
+        assert self.eobrun > 0
+        r = self.eobrun.bit_length() - 1
+        self.sym(ACP_CODES, r << 4)
+        if r:
+            self.write(self.eobrun - (1 << r), r)
+        for bit in self.pending:
+            self.write(bit, 1)
+        self.eobrun = 0
+        self.pending = []
+
+
+def _enc_ac_first(pw: _ProgWriter, zz: np.ndarray, ss, se, al):
+    vals = [
+        (k, (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al))
+        for k in range(ss, se + 1)
+    ]
+    nz = [(k, v) for k, v in vals if v != 0]
+    if not nz:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+        return
+    pw.flush_eob()
+    run = 0
+    last_k = ss - 1
+    for k, v in nz:
+        run = k - last_k - 1
+        while run >= 16:
+            pw.sym(ACP_CODES, 0xF0)
+            run -= 16
+        s = _size_cat(v)
+        pw.sym(ACP_CODES, (run << 4) | s)
+        pw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        last_k = k
+    if last_k < se:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+
+
+def _enc_ac_refine(pw: _ProgWriter, zz: np.ndarray, ss, se, ah, al):
+    newly = []  # positions becoming nonzero at this approximation level
+    for k in range(ss, se + 1):
+        a = abs(int(zz[k]))
+        if (a >> ah) == 0 and (a >> al) != 0:
+            assert (a >> al) == 1, "refinement step must introduce magnitude 1"
+            newly.append(k)
+    if not newly:
+        # whole block rides the EOB run; its correction bits are buffered
+        for k in range(ss, se + 1):
+            a = abs(int(zz[k]))
+            if (a >> ah) != 0:
+                pw.pending.append((a >> al) & 1)
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+        return
+    pw.flush_eob()
+    # positional event list since the last emitted symbol: ("z",) for a
+    # zero-history coefficient, ("b", bit) for a nonzero-history one —
+    # correction bits must interleave with ZRL spans exactly as the
+    # decoder walks them (T.81 G.1.2.3)
+    events: list[tuple] = []
+
+    def emit_zrl():
+        pw.sym(ACP_CODES, 0xF0)
+        zeros = 0
+        i = 0
+        while i < len(events):
+            e = events[i]
+            i += 1
+            if e[0] == "z":
+                zeros += 1
+                if zeros == 16:
+                    break
+            else:
+                pw.write(e[1], 1)
+        del events[:i]
+
+    for k in range(ss, se + 1):
+        a = abs(int(zz[k]))
+        if (a >> ah) != 0:
+            events.append(("b", (a >> al) & 1))
+        elif (a >> al) == 1:
+            while sum(1 for e in events if e[0] == "z") >= 16:
+                emit_zrl()
+            run = sum(1 for e in events if e[0] == "z")
+            pw.sym(ACP_CODES, (run << 4) | 1)
+            pw.write(1 if zz[k] > 0 else 0, 1)
+            for e in events:
+                if e[0] == "b":
+                    pw.write(e[1], 1)
+            events = []
+        else:
+            events.append(("z",))
+    if events:
+        # tail covered by an EOB run spanning into following blocks
+        pw.pending.extend(e[1] for e in events if e[0] == "b")
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    band_split: int = 5,
+) -> bytes:
+    """Progressive JPEG bytes for an (h, w, 1|3) uint8 image.
+
+    Scan script (exercises every progressive mode):
+      1. DC first, all components interleaved, al=1
+      2. per component: AC band 1..band_split first, al=2
+      3. per component: AC band band_split+1..63 first, al=2
+      4. per component: AC refinement 1..63, 2->1
+      5. per component: AC refinement 1..63, 1->0
+      6. DC refinement, interleaved, al=0
+    """
+    h, w, nc = img.shape
+    gray = nc == 1
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = [img[:, :, 0]]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        if subsample:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            cb = ycc[:, :, 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = ycc[:, :, 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes = [
+                ycc[:, :, 0],
+                np.round(cb).astype(np.uint8),
+                np.round(cr).astype(np.uint8),
+            ]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+            planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    assert h % (8 * vmax) == 0 and w % (8 * hmax) == 0
+    coef = [_quantized_blocks(p) for p in planes]
+    mcux = w // (8 * hmax)
+    mcuy = h // (8 * vmax)
+
+    out = _marker(0xD8)
+    out += _marker(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += _marker(0xC2, sof)  # SOF2 progressive
+    out += _marker(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS)
+    out += _marker(0xC4, bytes([0x10]) + bytes(ACP_COUNTS) + ACP_SYMBOLS)
+    if restart_interval:
+        out += _marker(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xDA, sos)
+
+    def dc_scan(al, refine):
+        nonlocal out
+        # DC first: (ah=0, al); DC refinement: (ah=al+1, al)
+        out += sos_header(list(range(len(comps))), 0, 0, (al + 1) if refine else 0, al)
+        pw = _ProgWriter()
+        data = b""
+        pred = [0] * len(comps)
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    data += pw.flush()
+                    data += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                    pw = _ProgWriter()
+                    pred = [0] * len(comps)
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(coef[ci][my * vs + by, mx * hs + bx, 0])
+                            if refine:
+                                pw.write((dc >> al) & 1, 1)
+                            else:
+                                v = dc >> al  # arithmetic shift (T.81 DC pt)
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                s = _size_cat(diff)
+                                pw.sym(DC_CODES, s)
+                                if s:
+                                    pw.write(
+                                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                                    )
+                mcu += 1
+        data += pw.flush()
+        out += data
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([ci], ss, se, ah, al)
+        pw = _ProgWriter()
+        data = b""
+        bh = h * comps[ci][2] // vmax // 8
+        bw_ = w * comps[ci][1] // hmax // 8
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    pw.flush_eob()
+                    data += pw.flush()
+                    data += bytes(
+                        [0xFF, 0xD0 + ((unit // restart_interval - 1) % 8)]
+                    )
+                    pw = _ProgWriter()
+                zz = coef[ci][by, bx]
+                if ah == 0:
+                    _enc_ac_first(pw, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(pw, zz, ss, se, ah, al)
+                unit += 1
+        pw.flush_eob()
+        data += pw.flush()
+        out += data
+
+    dc_scan(1, refine=False)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, band_split, 0, 2)
+        ac_scan(ci, band_split + 1, 63, 0, 2)
+    for ci in range(len(comps)):
+        ac_scan(ci, 1, 63, 2, 1)
+        ac_scan(ci, 1, 63, 1, 0)
+    dc_scan(0, refine=True)
+    return out + _marker(0xD9)

@@ -304,10 +304,16 @@ def test_decode_jpeg_rejects():
     rng = np.random.default_rng(73)
     img = rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8)
     good = encode_jpeg(img)
-    # progressive marker (SOF2) instead of SOF0 -> unsupported variant
+    # a baseline stream relabeled SOF2 is STRUCTURALLY invalid as
+    # progressive (its single scan has band 0..63, but a progressive DC
+    # scan must end at 0) -> corrupt, not an unsupported variant
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(UnsupportedMediaVariant):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # lossless (SOF3) stays an unsupported variant
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_jpeg(lossless)
     with pytest.raises(ValueError):
         decode_jpeg(good[:40])  # truncated before scan
     with pytest.raises(ValueError):
@@ -322,7 +328,7 @@ def test_decode_media_jpeg_distributed(spark):
     good = encode_jpeg(img)
     rows = [
         (1, "image", good, {}),
-        (2, "image", good.replace(b"\xff\xc0", b"\xff\xc2", 1), {}),  # progressive
+        (2, "image", good.replace(b"\xff\xc0", b"\xff\xc3", 1), {}),  # lossless
         (3, "image", good[:30], {}),  # truncated: corrupt
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
@@ -348,3 +354,83 @@ def test_decode_jpeg_fill_bytes():
     i = good.find(b"\xff\xda")
     padded = good[:i] + b"\xff\xff\xff" + good[i:]
     assert (decode_jpeg(padded) == decode_jpeg(good)).all()
+
+
+# --- progressive JPEG ------------------------------------------------------
+
+
+def _grad(h, w, c, seed=0):
+    """Smooth gradient + sparse noise: mostly-zero AC coefficients, so
+    progressive scans exercise EOB runs, ZRL and refinement skips."""
+    rng = np.random.default_rng(seed)
+    y = np.linspace(0, 200, h)[:, None] + np.linspace(0, 40, w)[None, :]
+    img = np.repeat(y[:, :, None], c, axis=2)
+    mask = rng.random((h, w, c)) < 0.02
+    img = img + mask * rng.integers(-40, 40, size=(h, w, c))
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_decode_jpeg_progressive_matches_baseline():
+    """Progressive decode must reconstruct the EXACT same coefficients
+    as the baseline encoding of the same image (all scans + refinements
+    applied), hence bit-identical pixels."""
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(80)
+    cases = [
+        rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8),
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8),
+        _grad(32, 24, 1, seed=81),
+        _grad(24, 32, 3, seed=82),
+        np.full((16, 16, 1), 77, dtype=np.uint8),  # all-AC-zero: pure EOB runs
+    ]
+    for i, img in enumerate(cases):
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img))
+        assert (prog == base).all(), f"case {i} mismatch"
+
+
+def test_decode_jpeg_progressive_subsampled_restart():
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+
+    img = _grad(32, 48, 3, seed=83)
+    base = decode_jpeg(encode_jpeg(img, subsample=True))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample=True))
+    assert (prog == base).all()
+    # restart markers inside every scan type (DC/AC first/refine)
+    prog_rst = decode_jpeg(
+        encode_jpeg_progressive(img, subsample=True, restart_interval=2)
+    )
+    assert (prog_rst == base).all()
+
+
+def test_decode_jpeg_progressive_band_splits():
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+
+    img = _grad(16, 16, 3, seed=84)
+    base = decode_jpeg(encode_jpeg(img))
+    for split in (1, 9, 20, 62):
+        prog = decode_jpeg(encode_jpeg_progressive(img, band_split=split))
+        assert (prog == base).all(), f"band_split={split}"
+
+
+def test_decode_media_progressive_jpeg(spark):
+    """decode_media tags progressive JPEGs as decoded 'jpeg' rows with
+    the same pixel stats as their baseline twins."""
+    from cleanvision_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+
+    img = _grad(16, 16, 3, seed=85)
+    rows = [
+        (1, "image", encode_jpeg(img), {}),
+        (2, "image", encode_jpeg_progressive(img), {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["format"] == out[2]["format"] == "jpeg"
+    assert out[1]["pixel_mean"] == out[2]["pixel_mean"]
+    dec = decode_jpeg(encode_jpeg(img))
+    assert abs(out[2]["pixel_mean"] - round(float(dec.mean()), 6)) < 1e-9
