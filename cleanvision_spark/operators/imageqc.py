@@ -101,6 +101,17 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
                 return "jpeg", decode_jpeg(b)
             except UnsupportedMediaVariant:
                 return "unsupported", None
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from cleanvision_spark.operators.multimodal import decode_gif
+
+            return "gif", decode_gif(b)
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            from cleanvision_spark.operators.multimodal import decode_tiff
+
+            try:
+                return "tiff", decode_tiff(b)
+            except UnsupportedMediaVariant:
+                return "unsupported", None
         return "unsupported", None
     except Exception:
         return "corrupt", None

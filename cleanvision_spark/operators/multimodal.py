@@ -735,6 +735,348 @@ class _JpegCoeffState:
         return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, dict cap
+    4096 (GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # bit reader state (LSB first)
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("GIF LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    next_code = end + 1
+    while True:
+        code = read(width)
+        if code == clear:
+            table, width = reset()
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK case
+        else:
+            raise ValueError("bad GIF LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenated data sub-blocks starting at ``pos``; returns
+    (data, position after the 0x00 terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF sub-blocks truncated")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(b):
+            raise ValueError("GIF sub-block truncated")
+        out += b[pos : pos + n]
+        pos += n
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 with
+    stdlib + numpy only: logical screen descriptor, global/local color
+    tables, LZW (variable width, clear/end, KwKwK), 4-pass interlace.
+    Later animation frames are ignored (the reference's PIL open reads
+    frame 0 the same way — fsspec_dataset.py:55-59). Transparency is
+    flattened through the palette (no alpha output)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("GIF header truncated")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x21:  # extension: label + sub-blocks
+            if pos >= len(b):
+                raise ValueError("GIF extension truncated")
+            pos += 1
+            _, pos = _gif_subblocks(b, pos)
+        elif blk == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ValueError("GIF image descriptor truncated")
+            left = int.from_bytes(b[pos : pos + 2], "little")
+            top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+            w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+            h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+            ipacked = b[pos + 8]
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
+                    -1, 3
+                )
+                if len(pal) != n:
+                    raise ValueError("GIF local color table truncated")
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without color table")
+            if w == 0 or h == 0:
+                raise ValueError("empty GIF frame")
+            if pos >= len(b):
+                raise ValueError("GIF image data truncated")
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("bad GIF LZW code size")
+            data, pos = _gif_subblocks(b, pos)
+            idx = np.frombuffer(
+                _lzw_decode_gif(data, min_code)[: w * h], dtype=np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            grid = np.empty((h, w), dtype=np.uint8)
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, h, step):
+                        grid[y] = rows[src]
+                        src += 1
+            else:
+                grid = rows
+            if int(grid.max()) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            # frame 0 composited onto the logical screen when it fits
+            # inside a larger one; oversized/out-of-bounds frames are
+            # returned as-is (what the frame actually contains)
+            if (left, top, w, h) != (0, 0, sw, sh) and (
+                sw * sh and left + w <= sw and top + h <= sh
+            ):
+                canvas = np.zeros((sh, sw), dtype=np.uint8)
+                canvas[top : top + h, left : left + w] = grid
+                grid = canvas
+            return pal[grid]
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("bad GIF block")
+    raise ValueError("GIF contains no image frame")
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    256=clear / 257=EOI, EARLY width change (at 4093 etc. — one code
+    before the table fills)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("TIFF LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v = (v << 1) | ((byte >> (7 - ((bitpos + i) & 7))) & 1)
+        bitpos += width
+        return v
+
+    table: dict[int, bytes] = {}
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == CLEAR:
+            table = {}
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < 256:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad TIFF LZW code")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        # early change: width grows when ONE code remains at this width
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected and i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits data short")
+    return bytes(out[:expected])
+
+
+def decode_tiff(b: bytes) -> np.ndarray:
+    """Decode a strip-based 8-bit TIFF to (h, w, c) uint8 with stdlib +
+    numpy only: both byte orders, compression none (1) / LZW with early
+    change (5) / PackBits (32773), horizontal-differencing predictor,
+    photometric white-is-zero / black-is-zero / RGB / palette. Tiled,
+    non-8-bit and other-compression TIFFs raise UnsupportedMediaVariant;
+    structural damage raises ValueError."""
+    if b[:4] == b"II*\x00":
+        bo = "little"
+    elif b[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(data: bytes) -> int:
+        return int.from_bytes(data, bo)
+
+    ifd_off = u(b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD out of range")
+    n_entries = u(b[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(b):
+            raise ValueError("TIFF IFD truncated")
+        tag = u(b[e : e + 2])
+        typ = u(b[e + 2 : e + 4])
+        cnt = u(b[e + 4 : e + 8])
+        if typ not in TYPE_SIZE:
+            continue  # rational/other types: not needed for our tags
+        sz = TYPE_SIZE[typ] * cnt
+        raw = b[e + 8 : e + 12] if sz <= 4 else None
+        if raw is None:
+            off = u(b[e + 8 : e + 12])
+            if off + sz > len(b):
+                raise ValueError("TIFF tag value out of range")
+            raw = b[off : off + sz]
+        step = TYPE_SIZE[typ]
+        tags[tag] = [u(raw[j * step : (j + 1) * step]) for j in range(cnt)]
+
+    def tag1(t: int, default: int | None = None) -> int:
+        if t in tags:
+            return tags[t][0]
+        if default is None:
+            raise ValueError(f"TIFF missing tag {t}")
+        return default
+
+    if 322 in tags or 323 in tags:
+        raise UnsupportedMediaVariant("tiled TIFF")
+    w = tag1(256)
+    h = tag1(257)
+    spp = tag1(277, 1)
+    bps = tags.get(258, [8] * spp)
+    if any(x != 8 for x in bps):
+        raise UnsupportedMediaVariant("non-8-bit TIFF")
+    comp = tag1(259, 1)
+    if comp not in (1, 5, 32773):
+        raise UnsupportedMediaVariant(f"TIFF compression {comp}")
+    photometric = tag1(262, 1)
+    predictor = tag1(317, 1)
+    if predictor not in (1, 2):
+        raise UnsupportedMediaVariant(f"TIFF predictor {predictor}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strips missing")
+    rows_per_strip = tag1(278, h)
+    if w == 0 or h == 0:
+        raise ValueError("empty TIFF")
+    row_bytes = w * spp
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of range")
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = nrows * row_bytes
+        raw = b[off : off + cnt]
+        if comp == 1:
+            if len(raw) < expected:
+                raise ValueError("TIFF strip short")
+            out += raw[:expected]
+        elif comp == 5:
+            out += _lzw_decode_tiff(raw, expected)
+        else:
+            out += _packbits_decode(raw, expected)
+    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    if photometric == 3:  # palette: ColorMap is 16-bit per channel
+        cm = tags.get(320)
+        if not cm or len(cm) != 3 * 256 or spp != 1:
+            raise ValueError("TIFF palette missing")
+        pal = (np.array(cm, dtype=np.int64).reshape(3, 256).T >> 8).astype(np.uint8)
+        if int(img.max()) >= len(pal):
+            raise ValueError("TIFF palette index out of range")
+        return pal[img[:, :, 0]]
+    if photometric == 0:  # white-is-zero
+        img = 255 - img
+    return img
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to ((n_frames, channels) int16, sample_rate) via
     the stdlib wave module."""
@@ -794,6 +1136,10 @@ def _sniff(b: bytes | None) -> str:
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -843,14 +1189,15 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
                     pixel_std=round(float(img.std()), 6),
                     thumb=[float(x) for x in thumbnail_gray(img, thumb_size).ravel()],
                 )
-        elif fmt == "jpeg":
+        elif fmt in ("jpeg", "gif", "tiff"):
+            decoder = {"jpeg": decode_jpeg, "gif": decode_gif, "tiff": decode_tiff}
             try:
-                img = decode_jpeg(b)
+                img = decoder[fmt](b)
             except UnsupportedMediaVariant:
                 rec.update(format="unsupported")
             else:
                 rec.update(
-                    format="jpeg",
+                    format=fmt,
                     width=img.shape[1],
                     height=img.shape[0],
                     channels=img.shape[2],

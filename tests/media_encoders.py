@@ -1,0 +1,289 @@
+"""Minimal GIF and TIFF ENCODERS for tests only — independent forward
+paths (own LZW compressors with the spec's width-change rules, own
+PackBits and predictor application) so the decoders are exercised
+against the specs, not against themselves."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+def _gif_lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF LZW (LSB-first packing): CLEAR first, dict reset at 4096,
+    width grows when the just-assigned code reaches 1 << width."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    buf = 0
+    cnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, cnt
+        buf |= code << cnt
+        cnt += width
+        while cnt >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            cnt -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    s = b""
+    for byte in indices:
+        c = bytes([byte])
+        if s + c in table:
+            s = s + c
+            continue
+        emit(table[s], width)
+        table[s + c] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        s = c
+    if s:
+        emit(table[s], width)
+    emit(end, width)
+    if cnt:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    local_palette: bool = False,
+    gce: bool = True,
+    frame_rect: tuple[int, int, int, int] | None = None,
+) -> bytes:
+    """GIF89a bytes for an (h, w) uint8 index grid + (n, 3) palette.
+    ``frame_rect=(left, top, screen_w, screen_h)`` places the frame on a
+    larger logical screen."""
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    pal_size = 1 << bits
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    left, top, sw, sh = frame_rect if frame_rect else (0, 0, w, h)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    if local_palette:
+        out += bytes([0x00, 0, 0])  # no global table
+    else:
+        out += bytes([0x80 | (bits - 1), 0, 0])
+        out += pal.tobytes()
+    if gce:  # graphic control extension (skipped by the decoder)
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += bytes([0x2C])
+    out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    packed = (0x40 if interlace else 0) | (0x80 | (bits - 1) if local_palette else 0)
+    out += bytes([packed])
+    if local_palette:
+        out += pal.tobytes()
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE:
+            rows.extend(range(start, h, step))
+        data = idx[rows].tobytes()
+    else:
+        data = idx.tobytes()
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    out += _subblocks(_gif_lzw_compress(data, min_code))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+# --- TIFF ------------------------------------------------------------------
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF LZW (MSB-first packing, early change: width grows when the
+    encoder's next free code reaches 1 << width; CLEAR near 4093)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    cnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, cnt
+        buf = (buf << width) | code
+        cnt += width
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+    emit(CLEAR, width)
+    s = b""
+    for byte in data:
+        c = bytes([byte])
+        if not s:
+            s = c
+            continue
+        if s + c in table:
+            s = s + c
+            continue
+        emit(s[0] if len(s) == 1 else table[s], width)
+        table[s + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4093:
+            emit(CLEAR, width)
+            table = {}
+            next_code = 258
+            width = 9
+        s = c
+    if s:
+        emit(s[0] if len(s) == 1 else table[s], width)
+    emit(EOI, width)
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_compress(data: bytes) -> bytes:
+    """Simple PackBits: runs >= 3 as replicate packets, else literals."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    big_endian: bool = False,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    palette: np.ndarray | None = None,
+    photometric: int | None = None,
+) -> bytes:
+    """Strip-based 8-bit TIFF bytes for (h, w, c) uint8 (or (h, w, 1)
+    indices with ``palette``). compression: 1=none, 5=LZW, 32773=PackBits."""
+    h, w, spp = img.shape
+    bo = "big" if big_endian else "little"
+    if photometric is None:
+        photometric = 3 if palette is not None else (2 if spp >= 3 else 1)
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = img[y0 : y0 + rps]
+        if predictor == 2:
+            d = rows.astype(np.int64)
+            d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1)
+            raw = (d % 256).astype(np.uint8).tobytes()
+        else:
+            raw = rows.tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_compress(raw))
+        elif compression == 32773:
+            strips.append(_packbits_compress(raw))
+        else:
+            strips.append(raw)
+
+    def u16(v):
+        return int(v).to_bytes(2, bo)
+
+    def u32(v):
+        return int(v).to_bytes(4, bo)
+
+    header = (b"II*\x00" if not big_endian else b"MM\x00*") + u32(8)
+    # layout: header | IFD | tag-overflow values | strip data
+    entries = []  # (tag, type, count, value_bytes_or_int)
+
+    def entry(tag, typ, count, values):
+        entries.append((tag, typ, count, values))
+
+    entry(256, 3, 1, [w])
+    entry(257, 3, 1, [h])
+    entry(258, 3, spp, [8] * spp)
+    entry(259, 3, 1, [compression])
+    entry(262, 3, 1, [photometric])
+    entry(273, 4, len(strips), None)  # patched below
+    entry(277, 3, 1, [spp])
+    entry(278, 3, 1, [rps])
+    entry(279, 4, len(strips), [len(s) for s in strips])
+    if predictor == 2:
+        entry(317, 3, 1, [predictor])
+    if palette is not None:
+        cm = np.zeros((3, 256), dtype=np.int64)
+        cm[:, : len(palette)] = palette.T.astype(np.int64) * 257
+        entry(320, 3, 3 * 256, [int(v) for v in cm.ravel()])
+    entries.sort(key=lambda e: e[0])
+
+    TYPE_SIZE = {3: 2, 4: 4}
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_pos = 8 + ifd_size
+    overflow = bytearray()
+    # strip offsets depend on total overflow size: compute in two passes
+    sizes = []
+    for tag, typ, count, values in entries:
+        sz = TYPE_SIZE[typ] * count
+        sizes.append(sz if sz > 4 else 0)
+    data_pos = overflow_pos + sum(sizes)
+    strip_offsets = []
+    p = data_pos
+    for s in strips:
+        strip_offsets.append(p)
+        p += len(s)
+    ifd = bytearray(u16(len(entries)))
+    opos = overflow_pos
+    for (tag, typ, count, values), osz in zip(entries, sizes):
+        if tag == 273:
+            values = strip_offsets
+        step = TYPE_SIZE[typ]
+        enc = b"".join(int(v).to_bytes(step, bo) for v in values)
+        ifd += u16(tag) + u16(typ) + u32(count)
+        if len(enc) <= 4:
+            ifd += enc + b"\x00" * (4 - len(enc))
+        else:
+            ifd += u32(opos)
+            overflow += enc
+            opos += len(enc)
+    ifd += u32(0)  # no next IFD
+    return header + bytes(ifd) + bytes(overflow) + b"".join(strips)

@@ -434,3 +434,148 @@ def test_decode_media_progressive_jpeg(spark):
     assert out[1]["pixel_mean"] == out[2]["pixel_mean"]
     dec = decode_jpeg(encode_jpeg(img))
     assert abs(out[2]["pixel_mean"] - round(float(dec.mean()), 6)) < 1e-9
+
+
+# --- GIF + TIFF ------------------------------------------------------------
+
+
+def test_decode_gif_roundtrip():
+    from cleanvision_spark.operators.multimodal import decode_gif
+    from tests.media_encoders import encode_gif
+
+    rng = np.random.default_rng(90)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(13, 9), dtype=np.uint8)
+    for kw in (
+        {},
+        {"interlace": True},
+        {"local_palette": True},
+        {"gce": False},
+    ):
+        got = decode_gif(encode_gif(idx, pal, **kw))
+        assert got.shape == (13, 9, 3), kw
+        assert (got == pal[idx]).all(), kw
+    # long-run image: exercises LZW dict growth + width changes
+    grad = (np.arange(64)[:, None] // 8 + np.arange(64)[None, :] // 8).astype(
+        np.uint8
+    ) % 16
+    assert (decode_gif(encode_gif(grad, pal)) == pal[grad]).all()
+    # frame smaller than the logical screen: composited at (left, top)
+    sub = decode_gif(encode_gif(idx, pal, frame_rect=(3, 2, 20, 20)))
+    assert sub.shape == (20, 20, 3)
+    assert (sub[2:15, 3:12] == pal[idx]).all()
+    assert (sub[0, 0] == pal[0]).all()
+
+
+def test_decode_gif_rejects():
+    from cleanvision_spark.operators.multimodal import decode_gif
+    from tests.media_encoders import encode_gif
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated header
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + good[6:])
+
+
+def test_decode_tiff_roundtrip():
+    from cleanvision_spark.operators.multimodal import decode_tiff
+    from tests.media_encoders import encode_tiff
+
+    rng = np.random.default_rng(91)
+    rgb = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(9, 5, 1), dtype=np.uint8)
+    smooth = np.cumsum(rng.integers(0, 3, size=(12, 16, 3)), axis=1).astype(np.uint8)
+    for img in (rgb, gray, smooth):
+        for kw in (
+            {},
+            {"big_endian": True},
+            {"compression": 5},
+            {"compression": 32773},
+            {"compression": 5, "predictor": 2},
+            {"rows_per_strip": 4},
+            {"compression": 5, "rows_per_strip": 3, "big_endian": True},
+        ):
+            got = decode_tiff(encode_tiff(img, **kw))
+            assert got.shape == img.shape, kw
+            assert (got == img).all(), kw
+    # white-is-zero grayscale inverts
+    inv = decode_tiff(encode_tiff(gray, photometric=0))
+    assert (inv == 255 - gray).all()
+    # palette TIFF expands through the 16-bit ColorMap
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 8, 1), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(idx, palette=pal))
+    assert got.shape == (6, 8, 3)
+    assert (got == pal[idx[:, :, 0]]).all()
+    # big LZW payload crosses the 9->10 bit width change
+    big = rng.integers(0, 256, size=(24, 48, 3), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(big, compression=5)) == big).all()
+
+
+def test_decode_tiff_rejects():
+    from cleanvision_spark.operators.multimodal import (
+        UnsupportedMediaVariant,
+        decode_tiff,
+    )
+    from tests.media_encoders import encode_tiff
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_tiff(img)
+    with pytest.raises(ValueError):
+        decode_tiff(good[:10])
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX\x00*" + good[4:])
+    # unsupported compression id -> variant, not corrupt
+    bad = encode_tiff(img)
+    # tag 259 value patch: find compression entry (type 3, value 1)
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_tiff(encode_tiff(img, compression=1).replace(
+            (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + (1).to_bytes(2, "little"),
+            (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + (7).to_bytes(2, "little"), 1))
+
+
+def test_decode_media_gif_tiff(spark):
+    from tests.media_encoders import encode_gif, encode_tiff
+
+    rng = np.random.default_rng(92)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(8, 8), dtype=np.uint8)
+    tif = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", encode_gif(idx, pal), {}),
+        (2, "image", encode_tiff(tif, compression=5), {}),
+        (3, "image", encode_tiff(tif)[:16], {}),  # truncated
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("gif", 8, 8)
+    exp = pal[idx]
+    assert abs(out[1]["pixel_mean"] - round(float(exp.mean()), 6)) < 1e-9
+    assert (out[2]["format"], out[2]["channels"]) == ("tiff", 3)
+    assert abs(out[2]["pixel_mean"] - round(float(tif.mean()), 6)) < 1e-9
+    assert out[3]["format"] == "corrupt"
+
+
+def test_imageqc_gif_tiff():
+    """imageqc's fused decode path sees gif/tiff too (same kernels feed
+    image_issues and the hash families)."""
+    from cleanvision_spark.operators.imageqc import _decode_image
+    from tests.media_encoders import encode_gif, encode_tiff
+
+    rng = np.random.default_rng(93)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(10, 10), dtype=np.uint8)
+    fmt, img = _decode_image(encode_gif(idx, pal))
+    assert fmt == "gif" and (img == pal[idx]).all()
+    tif = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    fmt, img = _decode_image(encode_tiff(tif, compression=32773, predictor=1))
+    assert fmt == "tiff" and (img == tif).all()
+    fmt, img = _decode_image(encode_tiff(tif)[:12])
+    assert fmt == "corrupt" and img is None
