@@ -686,6 +686,54 @@ def _q_decontaminate_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, "doc_id", n=3)
 
 
+def _q_corpus_build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed text+media corpus build (plans.build_media_corpus): odd
+    doc_ids become netpbm payload rows (4 planted byte-identical
+    duplicates at +3000000, one corrupt truncated payload at +4000000),
+    even doc_ids stay text. Media rows: decode-once, drop undecodable,
+    phash keep-one; text rows: quality >= 0.71 + normalized dedup;
+    shared 80/20 split tail. Rows-only check (phash is not
+    SQL-expressible); batch==stream parity in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.plans.corpus_build import build_media_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(
+        F.concat(F.lit("P5\n32 32\n255\n"), F.rpad(F.col("text"), 1024, "x")),
+        "UTF-8",
+    )
+    is_media = F.col("doc_id") % 2 == 1
+    base = docs.select(
+        "doc_id",
+        F.when(~is_media, F.col("text")).alias("text"),
+        F.when(is_media, payload).alias("payload"),
+    )
+    dups = docs.filter(is_media & (F.col("doc_id") < 8)).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        payload.alias("payload"),
+    )
+    corrupt = docs.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.substring(payload, 1, 9).cast("binary").alias("payload"),
+    )
+    mixed = base.unionByName(dups).unionByName(corrupt)
+    out = build_media_corpus(
+        mixed,
+        min_quality=0.71,
+        dedup="normalized",
+        media_hash="phash",
+        splits={"train": 0.8, "val": 0.2},
+        salt="m1",
+    )
+    return out.select(
+        "doc_id", "kind", F.round("quality_score", 6).alias("quality_score"),
+        "format", "img_hash", "split",
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cleanvision_spark.operators.sampling import stratified_sample
 
@@ -1400,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         # --- corpus composition ---
         "corpus_build": _q_corpus_build,
+        "corpus_build_media": _q_corpus_build_media,
         "decontaminate_3gram": _q_decontaminate_3gram,
         "segment_dedup_first": _q_segment_dedup_first,
         "segment_boilerplate": _q_segment_boilerplate,

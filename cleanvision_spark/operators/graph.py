@@ -105,7 +105,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cur = _canonical(raw).localCheckpoint(eager=True)
+    # LAZY initial checkpoint: the first fingerprint aggregate
+    # materializes it — one job instead of an eager pass + fingerprint
+    cur = _canonical(raw).localCheckpoint(eager=False)
 
     def _fingerprint(e: DataFrame):
         row = e.agg(
@@ -119,13 +121,18 @@ def connected_components(
         return row["n"], row["h"]
 
     prev_fp = _fingerprint(cur)
-    for _ in range(max_iterations):
-        # canonicalize so the fingerprint compares a normal form; the
-        # checkpoint is LAZY so the fingerprint aggregate materializes
-        # it in the same job — one driver round-trip per iteration
-        # instead of two (iteration latency is what dominates: per-round
-        # data is tiny after the first contractions)
-        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(
+    # TWO contractions per convergence check: iteration cost here is
+    # DRIVER ROUND-TRIP latency, not data (per-round edges are tiny
+    # after the first contractions — BENCH r3), so halving the number
+    # of fingerprint collects halves wall time; past the fixed point a
+    # contraction is a no-op, so the extra half-round changes nothing.
+    # Both lazy checkpoints materialize inside the one fingerprint job;
+    # plan depth between checkpoints stays 2 rounds (analysis O(1)).
+    for _ in range((max_iterations + 1) // 2):
+        mid = _canonical(_small_star(_large_star(cur))).localCheckpoint(
+            eager=False
+        )
+        nxt = _canonical(_small_star(_large_star(mid))).localCheckpoint(
             eager=False
         )
         fp = _fingerprint(nxt)

@@ -54,18 +54,29 @@ def cap_per_key(
     id_col: str,
     max_rows_per_key: int,
     salt: str = "cap",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Keep ~max_rows_per_key rows per key value (hash-quota: binomial
     around the cap, deterministic, skew-free). Keys at or under the cap
     are kept whole. A NULL key is its own group and is capped like any
     other (the join is null-safe — a plain equi-join would silently
-    DROP every null-key row)."""
+    DROP every null-key row).
+
+    ``broadcast`` (default True) is a CARDINALITY CONTRACT, not a
+    tuning flag: the count table has one row per distinct key, so the
+    default is only safe for source/domain-grade keys (up to ~10^6).
+    For a C4-style per-URL cap — 10^8-10^9 distinct keys at 100 TB —
+    the forced broadcast would OOM the driver: pass ``broadcast=False``
+    and the count join shuffles on the key instead (AQE still promotes
+    it to a broadcast at runtime if the table turns out small); the
+    kept rows are IDENTICAL either way (docs/SCALE.md)."""
     if max_rows_per_key <= 0:
         raise ValueError("max_rows_per_key must be positive")
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_knt"))
     frac = F.lit(float(max_rows_per_key)) / F.col("_knt").cast("double")
+    counts = counts.withColumnRenamed(key_col, "_capk")
     joined = df.join(
-        F.broadcast(counts.withColumnRenamed(key_col, "_capk")),
+        F.broadcast(counts) if broadcast else counts,
         F.col(key_col).eqNullSafe(F.col("_capk")),
     )
     return (
@@ -105,13 +116,19 @@ def mixture_sample(
     id_col: str,
     weights: dict[str, float],
     salt: str = "mix",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Resample to target per-key proportions, keeping as much data as
     feasible: the binding key (smallest count_k / weight_k) is kept
     whole and every other key is hash-quota'd down so the kept corpus
     matches ``weights``. Keys absent from ``weights`` — including NULL
     keys — are dropped (they have no target proportion).
-    Deterministic; ~binomial noise around each key's target."""
+    Deterministic; ~binomial noise around each key's target.
+
+    The count table here is bounded by len(weights) (the weight filter
+    runs before the join), so the broadcast is safe whenever the weight
+    dict is driver-sized — ``broadcast=False`` is for symmetry with
+    cap_per_key (same cardinality contract, docs/SCALE.md)."""
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -131,7 +148,7 @@ def mixture_sample(
     keyed = counts.crossJoin(F.broadcast(n_total))
     frac = F.col("_ntot") * F.col("_w") / F.col("_knt").cast("double")
     return (
-        df.join(F.broadcast(keyed), key_col)
+        df.join(F.broadcast(keyed) if broadcast else keyed, key_col)
         .filter(_quota_filter(frac, id_col, salt))
         .drop("_knt", "_w", "_ntot")
     )

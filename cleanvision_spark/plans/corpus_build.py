@@ -260,3 +260,93 @@ def build_corpus_checkpointed(
 
     out = spark.read.parquet(kept_dir)
     return _tail_stage(out, id_col, text_col, cap, splits, seq_len, salt)
+
+
+def build_media_corpus(
+    rows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_col: str = "payload",
+    min_quality: float = 0.0,
+    dedup: str = "normalized",
+    media_hash: str = "phash",
+    benchmark_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    cap: tuple[str, int] | None = None,
+    splits: dict[str, float] | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """build_corpus over a MIXED text+media table: a row with a non-null
+    ``payload_col`` is media, otherwise text.
+
+    Text rows run the standard stages (quality -> dedup keep-one ->
+    decontamination). Media rows are decoded ONCE (the fused
+    imageqc pass), rows that fail to decode (corrupt / unsupported /
+    empty — the reference's corrupt-image quarantine) are DROPPED, and
+    perceptual-hash equality groups keep one canonical member — the
+    image analog of the text dedup stage
+    (/root/reference/src/cleanvision/issue_managers/
+    duplicate_issue_manager.py:96-139 on hash_type, default phash).
+    The kept union then shares the tail stages (cap / split).
+
+    Returns (id_col, kind 'text'|'media', quality_score — null for
+    media, format / img_hash — null for text, + split when requested).
+
+    Scale notes: the expensive work stays one Arrow decode pass over
+    media rows and the text pipeline's one persisted scored base; the
+    media keep-one is a groupBy+join on the 16-hex hash — the same
+    bucket-equality plan shape as every other dedup here. ``media_hash``
+    must be a pixel family (decode-based) — md5 hashes raw bytes
+    without decoding, so it cannot also drop undecodable rows.
+    """
+    from cleanvision_spark.cache import tracked_persist
+    from cleanvision_spark.operators.imageqc import IMAGE_HASHERS, image_hashes
+
+    if media_hash not in IMAGE_HASHERS:
+        raise ValueError(
+            f"media_hash must be a pixel hash family {list(IMAGE_HASHERS)}; "
+            f"got {media_hash!r} (md5 cannot drop undecodable rows)"
+        )
+    is_media = F.col(payload_col).isNotNull()
+    text = rows.filter(~is_media).drop(payload_col)
+    media = rows.filter(is_media).select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    text_kept = build_corpus(
+        text,
+        id_col,
+        text_col,
+        min_quality=min_quality,
+        dedup=dedup,
+        benchmark_df=benchmark_df,
+        decontaminate_n=decontaminate_n,
+        salt=salt,
+    )
+    # persisted: the hash UDF output feeds both the canonical agg and
+    # the join back (CLAUDE.md invariant: no double UDF evaluation)
+    hashed = tracked_persist(image_hashes(media, media_hash))
+    decoded = hashed.filter(F.col("img_hash").isNotNull())
+    canon = decoded.groupBy("img_hash").agg(F.min("media_id").alias("_cid"))
+    media_kept = (
+        decoded.join(canon, "img_hash")
+        .filter(F.col("media_id") == F.col("_cid"))
+        .drop("_cid")
+    )
+    null_s = F.lit(None).cast("string")
+    union = text_kept.select(
+        F.col(id_col),
+        F.lit("text").alias("kind"),
+        F.col("quality_score"),
+        null_s.alias("format"),
+        null_s.alias("img_hash"),
+    ).unionByName(
+        media_kept.select(
+            F.col("media_id").alias(id_col),
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("double").alias("quality_score"),
+            F.col("format"),
+            F.col("img_hash"),
+        )
+    )
+    return _tail_stage(union, id_col, text_col, cap, splits, None, salt)

@@ -374,6 +374,60 @@ def foreach_batch_near_dedup_flags(
     return _sink
 
 
+def foreach_batch_media_dedup_sink(
+    index_dir: str, out_dir: str, run_id: str, hash_type: str = "phash"
+):
+    """foreachBatch sink that exactly-dedups a MEDIA stream (media_id,
+    payload, ...) against all previously-seen images by perceptual-hash
+    equality — the streaming twin of the media keep-one stage in
+    plans.build_media_corpus (tested batch==stream in
+    tests/test_streaming.py). Undecodable payloads (corrupt /
+    unsupported / empty) are dropped, mirroring the batch plan's
+    quarantine.
+
+    Same idempotency contract as ``foreach_batch_dedup_sink``:
+    batch-keyed overwrite dirs + own-batch index exclusion; ``run_id``
+    required (see run_id_for_checkpoint); compact with
+    ``compact_index`` keyed on ``img_hash``. The per-batch cost is one
+    Arrow decode pass over the batch plus an anti-join against the
+    stored hash index — bounded by distinct images, never executor
+    memory."""
+    from cleanvision_spark.operators.imageqc import IMAGE_HASHERS, image_hashes
+
+    if hash_type not in IMAGE_HASHERS:
+        raise ValueError(
+            f"hash_type must be a pixel hash family {list(IMAGE_HASHERS)}; "
+            f"got {hash_type!r} (md5 cannot drop undecodable rows)"
+        )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batchid = f"{run_id}-{epoch_id}"
+        hashed = image_hashes(
+            batch_df.select("media_id", "payload"), hash_type
+        ).filter(F.col("img_hash").isNotNull())
+        # keep-one within the batch first (min media_id per hash)
+        w_min = hashed.groupBy("img_hash").agg(F.min("media_id").alias("_cid"))
+        hashed = (
+            hashed.join(w_min, "img_hash")
+            .filter(F.col("media_id") == F.col("_cid"))
+            .drop("_cid")
+        )
+        fresh = hashed
+        for seen in _read_index_key_frames(spark, index_dir, batchid, ["img_hash"]):
+            fresh = fresh.join(seen, "img_hash", "left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("overwrite").parquet(f"{out_dir}/batchid={batchid}")
+            fresh.select("img_hash").write.mode("overwrite").parquet(
+                f"{index_dir}/batchid={batchid}"
+            )
+        finally:
+            fresh.unpersist()
+
+    return _sink
+
+
 def stream_media_issues(
     stream_df: DataFrame,
     params: dict | None = None,

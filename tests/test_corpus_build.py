@@ -86,3 +86,43 @@ def test_build_corpus_determinism(spark, docs):
 def test_build_corpus_bad_mode(spark, docs):
     with pytest.raises(ValueError):
         build_corpus(docs, dedup="fuzzy")
+
+
+def test_build_media_corpus(spark):
+    """Mixed text+media build: text rows share the standard stages,
+    media rows decode once, drop undecodable, keep one per phash
+    group; the tail split covers both kinds."""
+    import numpy as np
+    import pytest
+
+    from cleanvision_spark.plans.corpus_build import build_media_corpus
+    from tests.media_encoders import encode_gif
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+
+    def gif(seed):
+        r = np.random.default_rng(seed)
+        return encode_gif(r.integers(0, 8, size=(8, 8), dtype=np.uint8), pal)
+
+    rows = [(i, f"clean document text number {i} with words", None) for i in range(6)]
+    rows += [(100 + i, None, gif(i)) for i in range(4)]
+    rows += [(200, None, gif(0))]       # duplicate of 100's payload
+    rows += [(201, None, gif(1)[:12])]  # corrupt
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+
+    out = build_media_corpus(
+        df, splits={"train": 0.5, "val": 0.5}, salt="t"
+    ).toPandas()
+    media = out[out["kind"] == "media"]
+    text = out[out["kind"] == "text"]
+    # 4 distinct images kept; duplicate 200 and corrupt 201 dropped
+    assert sorted(media["doc_id"]) == [100, 101, 102, 103]
+    assert media["format"].eq("gif").all()
+    assert media["img_hash"].notna().all() and media["quality_score"].isna().all()
+    assert sorted(text["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert text["quality_score"].notna().all() and text["img_hash"].isna().all()
+    assert set(out["split"]) <= {"train", "val"}
+    # md5 rejected (cannot drop undecodable rows)
+    with pytest.raises(ValueError):
+        build_media_corpus(df, media_hash="md5")

@@ -136,3 +136,25 @@ def test_mixing_validates(spark):
         cap_per_key(df, "src", "doc_id", 0)
     with pytest.raises(ValueError):
         mixture_sample(df, "src", "doc_id", {})
+
+
+def test_cap_per_key_broadcast_contract(spark):
+    """broadcast=False drops the forced hint (the 10^8-distinct-key /
+    per-URL-cap path — a forced broadcast would OOM the driver at that
+    cardinality): the count join plans as a shuffle join, and the kept
+    rows are IDENTICAL to the broadcast plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("url"), (F.col("id") % 997).cast("string")).alias("url"),
+    )
+    hinted = cap_per_key(df, "url", "doc_id", 2, salt="b")
+    shuffled = cap_per_key(df, "url", "doc_id", 2, salt="b", broadcast=False)
+    plan_h = hinted._jdf.queryExecution().optimizedPlan().toString()
+    plan_s = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_h.lower()
+    assert "broadcast" not in plan_s.lower()
+    a = sorted(r["doc_id"] for r in hinted.collect())
+    b = sorted(r["doc_id"] for r in shuffled.collect())
+    assert a == b and len(a) > 0

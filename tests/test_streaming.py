@@ -354,3 +354,62 @@ def test_stream_media_issues(spark, tmp_path):
     for mid in (1, 2, 4):
         for col in ("dark_score", "is_blurry_issue", "odd_size_score"):
             assert got[mid][col] == batch[mid][col], (mid, col)
+
+
+def test_media_dedup_sink_batch_stream_parity(spark, tmp_path):
+    """The streaming media dedup sink keeps exactly the rows the batch
+    plan (plans.build_media_corpus media stage) keeps, when batches
+    arrive in media_id order — same phash groups, same canonical
+    member, same undecodable-row quarantine."""
+    import numpy as np
+
+    from cleanvision_spark.operators.imageqc import image_hashes
+    from cleanvision_spark.streaming.stream import foreach_batch_media_dedup_sink
+    from tests.media_encoders import encode_gif
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+
+    def gif(seed):
+        r = np.random.default_rng(seed)
+        return encode_gif(r.integers(0, 8, size=(8, 8), dtype=np.uint8), pal)
+
+    # 6 distinct images; ids 10/11 duplicate 0/1's payloads; 12 corrupt
+    payloads = {i: gif(i) for i in range(6)}
+    payloads[10] = payloads[0]
+    payloads[11] = payloads[1]
+    payloads[12] = payloads[2][:10]
+    rows = [(i, "image", p, {}) for i, p in sorted(payloads.items())]
+    from cleanvision_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    idx, out = str(tmp_path / "midx"), str(tmp_path / "mout")
+    sink = foreach_batch_media_dedup_sink(idx, out, run_id="m0")
+    sink(df.filter(F.col("media_id") < 3), 0)
+    sink(df.filter(F.col("media_id") >= 3), 1)
+    stream_kept = set(
+        r["media_id"] for r in spark.read.parquet(out).collect()
+    )
+
+    # batch twin: keep-one per phash over decodable rows
+    hashed = image_hashes(
+        df.select("media_id", "payload"), "phash"
+    ).filter(F.col("img_hash").isNotNull())
+    canon = hashed.groupBy("img_hash").agg(F.min("media_id").alias("cid"))
+    batch_kept = set(r["cid"] for r in canon.collect())
+
+    assert stream_kept == batch_kept == {0, 1, 2, 3, 4, 5}
+
+    # replay idempotency: same epoch re-run leaves the kept set unchanged
+    sink(df.filter(F.col("media_id") >= 3), 1)
+    assert (
+        set(r["media_id"] for r in spark.read.parquet(out).collect())
+        == batch_kept
+    )
+
+    # md5 cannot drop undecodable rows -> rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        foreach_batch_media_dedup_sink(idx, out, run_id="m1", hash_type="md5")
