@@ -114,7 +114,7 @@ def main() -> None:
         "Broadcast dimension join",
         "Fact table joins two broadcast dims; no shuffle of the fact before the "
         "final agg key.",
-        metrics(e.queries()["revenue_by_nation"](spark, SF)),
+        metrics(e.extra_queries()["revenue_by_nation"](spark, SF)),
     ))
 
     sections.append((
@@ -227,6 +227,15 @@ def main() -> None:
         "Term-keyed groupBy (map-side combined) + one-row doc-count "
         "broadcast + TakeOrderedAndProject for the k heaviest terms.",
         metrics(e.queries()["top_terms"](spark, SF)),
+    ))
+
+    sections.append((
+        "Mixed text+media corpus build",
+        "Text rows share the persisted scored base; media rows run ONE "
+        "Arrow decode+hash pass (persisted — feeds the canonical agg "
+        "and the join back), phash keep-one is a groupBy+join on the "
+        "16-hex hash; the split tail is a codegen'd md5 CASE.",
+        metrics(e.queries()["corpus_build_media"](spark, SF)),
     ))
 
     lines = [

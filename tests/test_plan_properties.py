@@ -87,3 +87,28 @@ def test_packing_window_is_partitioned(spark, docs):
     windows = [seg for seg in p.split("\n") if "Window" in seg and "_bucket" in seg]
     assert any("partitionBy" in w or "_bucket" in w for w in windows)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_media_corpus_build_plan(spark, docs):
+    """Media stage: zero row-python, no SMJ/cartesian, and the one
+    Arrow decode+hash pass sits under the persisted cache (every
+    MapInPandas consumed via InMemoryTableScan — no double decode)."""
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.plans.corpus_build import build_media_corpus
+
+    payload = F.encode(
+        F.concat(F.lit("P5\n8 8\n255\n"), F.rpad(F.col("text"), 64, "x")), "UTF-8"
+    )
+    is_media = F.col("doc_id") % 2 == 1
+    mixed = docs.select(
+        "doc_id",
+        F.when(~is_media, F.col("text")).alias("text"),
+        F.when(is_media, payload).alias("payload"),
+    )
+    out = build_media_corpus(mixed, splits={"train": 0.8, "val": 0.2}, salt="t")
+    p = _plan(out)
+    assert "BatchEvalPython" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # the decode UDF appears only under the cached scan subtrees
+    assert p.count("MapInPandas") <= p.count("InMemoryTableScan")
+    release_tracked()
