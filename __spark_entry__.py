@@ -69,20 +69,31 @@ SF_SMOKE = "/root/testdata/sf0.001"
 CAP = 262144  # MAX_SCORED_CHARS
 
 # queries whose oracle is a precomputed parquet of expected values
-# (independent Python path; scripts/make_expected.py regenerates)
+# (independent Python path; scripts/make_expected.py regenerates).
+# Maps query -> expected file stem: the inline lsh/ivf variants return
+# the same rows as their indexed twins (asserted in test_ann_textqc),
+# so they share those files.
 EXPECTED_DIR = os.path.join(_REPO_DIR, "expected")
-EXPECTED_QUERIES = [
-    "quality_filter_full",
-    "langid_surprisal",
-    "image_issues",
-    "image_near_dups",
-    "doc_fingerprints",
-    "near_duplicates",
-    "dedup_minhash",
-    "dedup_simhash_hamming",
-    "ann_lsh_indexed_topk",
-    "ann_ivf_indexed_topk",
-]
+EXPECTED_FILES = {
+    "quality_filter_full": "quality_filter_full",
+    "langid_surprisal": "langid_surprisal",
+    "image_issues": "image_issues",
+    "image_near_dups": "image_near_dups",
+    "doc_fingerprints": "doc_fingerprints",
+    "near_duplicates": "near_duplicates",
+    "dedup_minhash": "dedup_minhash",
+    "dedup_simhash_hamming": "dedup_simhash_hamming",
+    "ann_lsh_indexed_topk": "ann_lsh_indexed_topk",
+    "ann_ivf_indexed_topk": "ann_ivf_indexed_topk",
+    "corpus_build_media": "corpus_build_media",
+    # extra_queries() surfaces — value-checked by tests/test_oracle_smoke
+    "dedup_simhash": "dedup_simhash",
+    "dedup_embedding_lsh": "dedup_embedding_lsh",
+    "corpus_build_minhash": "corpus_build_minhash",
+    "ann_lsh_topk": "ann_lsh_indexed_topk",
+    "ann_ivf_topk": "ann_ivf_indexed_topk",
+}
+EXPECTED_QUERIES = list(EXPECTED_FILES)
 
 def _epoch_s(colname: str):
     """Timezone-free epoch seconds for a TIMESTAMP_NTZ column: pure
@@ -692,8 +703,10 @@ def _q_corpus_build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates at +3000000, one corrupt truncated payload at +4000000),
     even doc_ids stay text. Media rows: decode-once, drop undecodable,
     phash keep-one; text rows: quality >= 0.71 + normalized dedup;
-    shared 80/20 split tail. Rows-only check (phash is not
-    SQL-expressible); batch==stream parity in tests/test_streaming.py."""
+    shared 80/20 split tail. Oracle: parquet-expected (phash is not
+    SQL-expressible — scripts/make_expected.py combines the shared
+    quality/dedup CTEs with the Python decode/phash kernels);
+    batch==stream parity in tests/test_streaming.py."""
     from pyspark.sql import functions as F
 
     from cleanvision_spark.plans.corpus_build import build_media_corpus
@@ -1578,22 +1591,21 @@ def _mixture_sample_oracle() -> str:
     """
 
 
-def _corpus_build_oracle() -> str:
-    """chained-CTE replay of plans/corpus_build.build_corpus with the
-    _q_corpus_build parameters; split cutoffs and hash salts come from
-    the same helpers the Spark side uses."""
-    from cleanvision_spark.operators.sampling import duckdb_hash_prefix, split_cutoffs
+def _quality_k0_cte(src: str = "documents") -> str:
+    """The qt/qs/q/k0 CTE block — DuckDB replay of textqc.
+    with_quality_score + the >=0.71 filter; shared by the corpus_build
+    oracle and scripts/make_expected.py (corpus_build_minhash/_media).
+    ``src`` = the doc table/CTE the block reads (must have doc_id,
+    source, text). NULL text is coalesced to '' like _scored_base."""
     from cleanvision_spark.operators.textqc import STOPWORDS
 
     stop_sql = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
     n_stop = len(STOPWORDS)
-    prefix = duckdb_hash_prefix("doc_id", salt="cb3/split")
-    cutoffs = split_cutoffs({"train": 0.8, "val": 0.1, "test": 0.1})
-    whens = "".join(
-        f"WHEN {prefix} < '{cut}' THEN '{name}' " for name, cut in cutoffs[:-1]
-    )
     return f"""
-        WITH qt AS (
+        qsrc AS (
+          SELECT doc_id, source, coalesce(text, '') AS text FROM {src}
+        ),
+        qt AS (
           SELECT doc_id,
                  length(text) AS n_chars,
                  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1602,7 +1614,7 @@ def _corpus_build_oracle() -> str:
                    list_distinct(string_split_regex(lower(trim(text)), '{WS_SQL}')),
                    {stop_sql})) AS n_stop,
                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
-          FROM documents
+          FROM qsrc
         ),
         qs AS (
           SELECT doc_id,
@@ -1625,9 +1637,24 @@ def _corpus_build_oracle() -> str:
         ),
         k0 AS (
           SELECT d.doc_id, d.source, d.text, q.quality_score
-          FROM documents d JOIN q USING (doc_id)
+          FROM qsrc d JOIN q USING (doc_id)
           WHERE q.quality_score >= 0.71
-        ),
+        )"""
+
+
+def _corpus_build_oracle() -> str:
+    """chained-CTE replay of plans/corpus_build.build_corpus with the
+    _q_corpus_build parameters; split cutoffs and hash salts come from
+    the same helpers the Spark side uses."""
+    from cleanvision_spark.operators.sampling import duckdb_hash_prefix, split_cutoffs
+
+    prefix = duckdb_hash_prefix("doc_id", salt="cb3/split")
+    cutoffs = split_cutoffs({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens = "".join(
+        f"WHEN {prefix} < '{cut}' THEN '{name}' " for name, cut in cutoffs[:-1]
+    )
+    return f"""
+        WITH {_quality_k0_cte()},
         nsh AS (
           SELECT doc_id,
                  sha256(lower(trim(regexp_replace(text, '{WS_SQL}', ' ', 'g')))) AS nsha
@@ -2443,7 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         # (the driver's correctness scale); tests/test_oracle_smoke.py
         # rewrites the path for its sf0.001 runs.
         **{
-            q: f"SELECT * FROM read_parquet('{EXPECTED_DIR}/sf0.01/{q}.parquet')"
-            for q in EXPECTED_QUERIES
+            q: f"SELECT * FROM read_parquet('{EXPECTED_DIR}/sf0.01/{f}.parquet')"
+            for q, f in EXPECTED_FILES.items()
         },
     }

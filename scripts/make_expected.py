@@ -605,6 +605,215 @@ def exp_ann_ivf_indexed_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
     return _topk(cands, qv, 10), ANN_SCHEMA
 
 
+def exp_dedup_simhash(con) -> tuple[pd.DataFrame, pa.Schema]:
+    d = docs_pdf(con)
+    h = {int(i): to_i64(simhash64(t)) for i, t in zip(d["doc_id"], d["text"])}
+    groups: dict[int, list[int]] = {}
+    for i, hv in h.items():
+        groups.setdefault(hv, []).append(i)
+    rows = [
+        {
+            "doc_id": i,
+            "simhash": hv,
+            "dup_count": len(groups[hv]),
+            "is_duplicate": len(groups[hv]) > 1,
+            "is_canonical": min(groups[hv]) == i,
+        }
+        for i, hv in h.items()
+    ]
+    out = pd.DataFrame(rows)
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return out, pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("simhash", pa.int64()),
+            ("dup_count", pa.int64()),
+            ("is_duplicate", pa.bool_()),
+            ("is_canonical", pa.bool_()),
+        ]
+    )
+
+
+def exp_dedup_embedding_lsh(con) -> tuple[pd.DataFrame, pa.Schema]:
+    """dedup_embedding_cosine(block_col=None): pairs sharing >= 1 of
+    the 8 sign-hash buckets with round6 cosine >= 0.25, distinct."""
+    e = embeddings_pdf(con)
+    vecs = [(int(i), list(v)) for i, v in zip(e["vec_id"], e["embedding"])]
+    mat = np.array([v for _, v in vecs], dtype=np.float64)
+    buckets = signs_for(mat)
+    by_bucket: dict[int, list[int]] = {}
+    for idx, row in enumerate(buckets):
+        for b in set(int(x) for x in row):
+            by_bucket.setdefault(b, []).append(idx)
+    pairs = set()
+    for members in by_bucket.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                x, y = members[ai], members[bi]
+                if vecs[x][0] > vecs[y][0]:
+                    x, y = y, x
+                pairs.add((x, y))
+    rows = []
+    for x, y in pairs:
+        cos = spark_round(_cosine(vecs[x][1], vecs[y][1]), 6)
+        if cos >= 0.25:
+            rows.append({"id_a": vecs[x][0], "id_b": vecs[y][0], "cosine": cos})
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+    return out, pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+
+def exp_corpus_build_minhash(con) -> tuple[pd.DataFrame, pa.Schema]:
+    """build_corpus(dedup='minhash', splits 0.9/0.1, salt='cbm'):
+    quality CTE in DuckDB (the oracle's shared _quality_k0_cte), the
+    MinHash keep-one set via the Python kernel + dict buckets, the
+    split via the shared duckdb_hash_prefix/split_cutoffs helpers."""
+    from cleanvision_spark.operators.sampling import (
+        duckdb_hash_prefix,
+        split_cutoffs,
+    )
+
+    k0 = con.execute(
+        f"WITH {E._quality_k0_cte()} SELECT doc_id, source, text, quality_score FROM k0"
+    ).df()
+    buckets: dict[int, list[int]] = {}
+    for did, text in zip(k0["doc_id"], k0["text"]):
+        for bh in minhash_bands(text):
+            buckets.setdefault(bh, []).append(int(did))
+    keep_min: dict[int, int] = {}
+    flagged: set[int] = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        mn = min(ids)
+        for i in ids:
+            flagged.add(i)
+            keep_min[i] = min(keep_min.get(i, mn), mn)
+    kept = [
+        int(i)
+        for i in k0["doc_id"]
+        if int(i) not in flagged or keep_min[int(i)] == int(i)
+    ]
+    id_list = ",".join(str(i) for i in kept)
+    prefix = duckdb_hash_prefix("doc_id", salt="cbm/split")
+    cutoffs = split_cutoffs({"train": 0.9, "val": 0.1})
+    whens = "".join(
+        f"WHEN {prefix} < '{cut}' THEN '{name}' " for name, cut in cutoffs[:-1]
+    )
+    out = con.execute(
+        f"""
+        WITH {E._quality_k0_cte()}
+        SELECT doc_id, source, quality_score,
+               CASE {whens}ELSE '{cutoffs[-1][0]}' END AS split
+        FROM k0 WHERE doc_id IN ({id_list})
+        """
+    ).df()
+    return out, pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("quality_score", pa.float64()),
+            ("split", pa.string()),
+        ]
+    )
+
+
+def exp_corpus_build_media(con) -> tuple[pd.DataFrame, pa.Schema]:
+    """build_media_corpus over the _q_corpus_build_media mixed table:
+    text side (even doc_ids) via the shared quality CTE + a normalized-
+    dedup keep-one in DuckDB; media side (odd doc_ids + planted dups +
+    one corrupt payload) via the Python decode/phash kernels; the split
+    via the shared md5-prefix cutoffs."""
+    from cleanvision_spark.operators.sampling import split_cutoffs
+
+    text_src = (
+        "(SELECT doc_id, NULL::VARCHAR AS source, text "
+        "FROM documents WHERE doc_id % 2 = 0)"
+    )
+    text_kept = con.execute(
+        f"""
+        WITH {E._quality_k0_cte(text_src)},
+        nsh AS (
+          SELECT doc_id,
+                 sha256(lower(trim(regexp_replace(text, '{E.WS_SQL}', ' ', 'g')))) AS nsha
+          FROM k0
+        ),
+        canon AS (SELECT nsha, min(doc_id) AS cid FROM nsh GROUP BY 1)
+        SELECT k0.doc_id, k0.quality_score FROM k0
+        JOIN nsh USING (doc_id)
+        JOIN canon ON nsh.nsha = canon.nsha AND k0.doc_id = canon.cid
+        """
+    ).df()
+    d = docs_pdf(con)
+    media = [
+        (int(i), _payload(t)) for i, t in zip(d["doc_id"], d["text"]) if int(i) % 2
+    ]
+    media += [
+        (int(i) + 3000000, _payload(t))
+        for i, t in zip(d["doc_id"], d["text"])
+        if int(i) % 2 and int(i) < 8
+    ]
+    media += [
+        (int(i) + 4000000, _payload(t)[:9])
+        for i, t in zip(d["doc_id"], d["text"])
+        if int(i) == 1
+    ]
+    hashes = []
+    for mid, payload in media:
+        fmt, img = _decode_image(payload)
+        if img is not None:
+            hx = format(IMAGE_HASHERS["phash"](img) & ((1 << 64) - 1), "016x")
+            hashes.append((mid, fmt, hx))
+    groups: dict[str, list[int]] = {}
+    for mid, _, hx in hashes:
+        groups.setdefault(hx, []).append(mid)
+    cutoffs = split_cutoffs({"train": 0.8, "val": 0.2})
+
+    def split_of(doc_id: int) -> str:
+        pref = hashlib.md5(f"m1/split:{doc_id}".encode()).hexdigest()[:15]
+        for name, cut in cutoffs[:-1]:
+            if pref < cut:
+                return name
+        return cutoffs[-1][0]
+
+    rows = [
+        {
+            "doc_id": int(r["doc_id"]),
+            "kind": "text",
+            "quality_score": float(r["quality_score"]),
+            "format": None,
+            "img_hash": None,
+            "split": split_of(int(r["doc_id"])),
+        }
+        for _, r in text_kept.iterrows()
+    ] + [
+        {
+            "doc_id": mid,
+            "kind": "media",
+            "quality_score": None,
+            "format": fmt,
+            "img_hash": hx,
+            "split": split_of(mid),
+        }
+        for mid, fmt, hx in hashes
+        if min(groups[hx]) == mid
+    ]
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "kind", "quality_score", "format", "img_hash", "split"]
+    )
+    return out, pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("kind", pa.string()),
+            ("quality_score", pa.float64()),
+            ("format", pa.string()),
+            ("img_hash", pa.string()),
+            ("split", pa.string()),
+        ]
+    )
+
+
 BUILDERS = {
     "doc_fingerprints": exp_doc_fingerprints,
     "dedup_minhash": exp_dedup_minhash,
@@ -616,6 +825,20 @@ BUILDERS = {
     "image_near_dups": exp_image_near_dups,
     "ann_lsh_indexed_topk": exp_ann_lsh_indexed_topk,
     "ann_ivf_indexed_topk": exp_ann_ivf_indexed_topk,
+    # extra_queries() surfaces — value-checked in pytest only
+    # (tests/test_oracle_smoke.py); lsh/ivf inline variants return the
+    # same rows as their indexed twins (asserted in test_ann_textqc),
+    # so they share those expected files via EXPECTED_ALIASES
+    "dedup_simhash": exp_dedup_simhash,
+    "dedup_embedding_lsh": exp_dedup_embedding_lsh,
+    "corpus_build_minhash": exp_corpus_build_minhash,
+    "corpus_build_media": exp_corpus_build_media,
+}
+
+# extra queries whose expected output equals another query's file
+EXPECTED_ALIASES = {
+    "ann_lsh_topk": "ann_lsh_indexed_topk",
+    "ann_ivf_topk": "ann_ivf_indexed_topk",
 }
 
 
