@@ -413,3 +413,63 @@ def test_media_dedup_sink_batch_stream_parity(spark, tmp_path):
 
     with pytest.raises(ValueError):
         foreach_batch_media_dedup_sink(idx, out, run_id="m1", hash_type="md5")
+
+
+def test_media_dedup_sink_real_stream(spark, tmp_path):
+    """End-to-end writeStream run (file source, availableNow, several
+    micro-batches) of the media dedup sink: exactly one kept row per
+    distinct image across all batches; replaying the same files into
+    the same index under a new run_id adds nothing."""
+    import numpy as np
+
+    from cleanvision_spark.operators.multimodal import MEDIA_SCHEMA
+    from cleanvision_spark.streaming.stream import foreach_batch_media_dedup_sink
+    from tests.media_encoders import encode_gif
+
+    rng = np.random.default_rng(22)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+
+    def gif(seed):
+        r = np.random.default_rng(seed)
+        return encode_gif(r.integers(0, 8, size=(8, 8), dtype=np.uint8), pal)
+
+    # 10 distinct images, each present twice under different ids, plus
+    # two corrupt payloads
+    rows = [(i, "image", gif(i % 10), {}) for i in range(20)]
+    rows += [(100, "image", gif(0)[:8], {}), (101, "image", b"", {})]
+    src, idx, out = (str(tmp_path / d) for d in ("src", "idx", "out"))
+    spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(5).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_media_dedup_sink(idx, out, run_id="ms0")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = spark.read.parquet(out)
+    assert kept.count() == 10
+    assert kept.select("img_hash").distinct().count() == 10
+
+    stream2 = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(src)
+    )
+    q2 = (
+        stream2.writeStream.foreachBatch(
+            foreach_batch_media_dedup_sink(idx, out, run_id="ms1")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 10
