@@ -326,6 +326,14 @@ def build_media_corpus(
     # persisted: the hash UDF output feeds both the canonical agg and
     # the join back (CLAUDE.md invariant: no double UDF evaluation)
     hashed = tracked_persist(image_hashes(media, media_hash))
+    union = _media_union(text_kept, hashed, id_col)
+    return _tail_stage(union, id_col, text_col, cap, splits, None, salt)
+
+
+def _media_union(text_kept: DataFrame, hashed: DataFrame, id_col: str) -> DataFrame:
+    """phash keep-one over the (media_id, format, img_hash) frame +
+    union with the kept text rows — shared by the plain and
+    checkpointed media builders (stage semantics must never drift)."""
     decoded = hashed.filter(F.col("img_hash").isNotNull())
     canon = decoded.groupBy("img_hash").agg(F.min("media_id").alias("_cid"))
     media_kept = (
@@ -334,7 +342,7 @@ def build_media_corpus(
         .drop("_cid")
     )
     null_s = F.lit(None).cast("string")
-    union = text_kept.select(
+    return text_kept.select(
         F.col(id_col),
         F.lit("text").alias("kind"),
         F.col("quality_score"),
@@ -349,4 +357,79 @@ def build_media_corpus(
             F.col("img_hash"),
         )
     )
+
+
+def build_media_corpus_checkpointed(
+    rows: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_col: str = "payload",
+    min_quality: float = 0.0,
+    dedup: str = "normalized",
+    media_hash: str = "phash",
+    benchmark_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    cap: tuple[str, int] | None = None,
+    splits: dict[str, float] | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """build_media_corpus with stage-level resume. The expensive media
+    stage — the Arrow decode+hash pass — lands in
+    ``checkpoint_dir/media_hashed`` (one row per media id; at 100 TB
+    this is the pass worth never repeating: decode dominates, and the
+    hashed table is tiny relative to payloads); the text side resumes
+    through build_corpus_checkpointed under ``checkpoint_dir/text``.
+    The keep-one union + tail are cheap and always re-run. Same
+    parameter-fingerprint guard as the text builder: resuming with
+    different stage-shaping parameters raises."""
+    from cleanvision_spark import fsutil
+    from cleanvision_spark.operators.imageqc import IMAGE_HASHERS, image_hashes
+
+    if media_hash not in IMAGE_HASHERS:
+        raise ValueError(
+            f"media_hash must be a pixel hash family {list(IMAGE_HASHERS)}; "
+            f"got {media_hash!r} (md5 cannot drop undecodable rows)"
+        )
+    spark = rows.sparkSession
+    params_path = f"{checkpoint_dir}/media_params.json"
+    fp = _params_fingerprint(
+        min_quality=min_quality,
+        dedup=dedup,
+        media_hash=media_hash,
+        has_benchmark=benchmark_df is not None,
+        decontaminate_n=decontaminate_n,
+    )
+    prior = fsutil.read_text(spark, params_path)
+    if prior is None:
+        fsutil.write_text(spark, params_path, fp)
+    elif prior != fp:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir} was built with different "
+            f"parameters ({prior}); resuming with ({fp}) would silently "
+            "mix semantics — use a fresh checkpoint dir"
+        )
+
+    is_media = F.col(payload_col).isNotNull()
+    hashed_dir = f"{checkpoint_dir}/media_hashed"
+    if not fsutil.exists(spark, f"{hashed_dir}/_SUCCESS"):
+        media = rows.filter(is_media).select(
+            F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+        )
+        image_hashes(media, media_hash).write.mode("overwrite").parquet(hashed_dir)
+    hashed = spark.read.parquet(hashed_dir)
+
+    text = rows.filter(~is_media).drop(payload_col)
+    text_kept = build_corpus_checkpointed(
+        text,
+        f"{checkpoint_dir}/text",
+        id_col,
+        text_col,
+        min_quality=min_quality,
+        dedup=dedup,
+        benchmark_df=benchmark_df,
+        decontaminate_n=decontaminate_n,
+        salt=salt,
+    )
+    union = _media_union(text_kept, hashed, id_col)
     return _tail_stage(union, id_col, text_col, cap, splits, None, salt)

@@ -44,11 +44,21 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="stage-level resume dir: a killed build restarts "
                          "from the last completed stage")
+    ap.add_argument("--payload-col", default=None,
+                    help="binary media column: rows with a non-null payload "
+                         "are images — decoded once, undecodable dropped, "
+                         "deduped by --media-hash equality (mixed text+media "
+                         "build; --seq-len is text-only and ignored)")
+    ap.add_argument("--media-hash", default="phash",
+                    help="perceptual hash family for media dedup "
+                         "(phash/ahash/dhash/whash/chash)")
     args = ap.parse_args()
 
     from cleanvision_spark.plans.corpus_build import (
         build_corpus,
         build_corpus_checkpointed,
+        build_media_corpus,
+        build_media_corpus_checkpointed,
     )
     from cleanvision_spark.session import get_spark
 
@@ -73,7 +83,15 @@ def main() -> None:
         seq_len=args.seq_len,
         salt=args.salt,
     )
-    if args.checkpoint:
+    if args.payload_col:
+        kwargs.pop("seq_len")
+        kwargs["payload_col"] = args.payload_col
+        kwargs["media_hash"] = args.media_hash
+        if args.checkpoint:
+            out = build_media_corpus_checkpointed(docs, args.checkpoint, **kwargs)
+        else:
+            out = build_media_corpus(docs, **kwargs)
+    elif args.checkpoint:
         out = build_corpus_checkpointed(docs, args.checkpoint, **kwargs)
     else:
         out = build_corpus(docs, **kwargs)

@@ -78,3 +78,75 @@ def test_resume_from_scored_stage(spark, tmp_path):
         map(tuple, build_corpus_checkpointed(docs, cpdir, **KW).collect())
     )
     assert resumed == full
+
+
+def _mixed(spark):
+    import numpy as np
+
+    from tests.media_encoders import encode_gif
+
+    rng = np.random.default_rng(41)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+
+    def gif(seed):
+        r = np.random.default_rng(seed)
+        return encode_gif(r.integers(0, 8, size=(8, 8), dtype=np.uint8), pal)
+
+    rows = [
+        (i, f"doc {i % 25} body with several plain words here", None)
+        for i in range(60)
+    ]
+    rows += [(100 + i, None, gif(i % 6)) for i in range(10)]  # 6 distinct
+    rows += [(200, None, gif(0)[:8])]  # corrupt
+    return spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+
+
+MKW = dict(min_quality=0.5, dedup="normalized", splits={"train": 0.8, "val": 0.2}, salt="t")
+
+
+def test_media_checkpointed_equals_plain_and_resumes(spark, tmp_path):
+    from cleanvision_spark import fsutil
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.plans.corpus_build import (
+        build_media_corpus,
+        build_media_corpus_checkpointed,
+    )
+
+    rows = _mixed(spark)
+    plain = sorted(map(tuple, build_media_corpus(rows, **MKW).collect()))
+    release_tracked()
+    cpdir = str(tmp_path / "mcp")
+    cp = sorted(
+        map(
+            tuple,
+            build_media_corpus_checkpointed(rows, cpdir, **MKW).collect(),
+        )
+    )
+    assert cp == plain
+    # resume with an EMPTY input: the decode pass and text stages must
+    # be read from the checkpoint, not recomputed from the input
+    empty = rows.limit(0)
+    resumed = sorted(
+        map(
+            tuple,
+            build_media_corpus_checkpointed(empty, cpdir, **MKW).collect(),
+        )
+    )
+    assert resumed == plain
+    # crash between media decode and text stages: drop the text kept
+    # stage only; media_hashed survives and is not recomputed
+    assert fsutil.delete(spark, f"{cpdir}/text/kept")
+    resumed2 = sorted(
+        map(
+            tuple,
+            build_media_corpus_checkpointed(rows, cpdir, **MKW).collect(),
+        )
+    )
+    assert resumed2 == plain
+    # different stage-shaping parameters must refuse to resume
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_media_corpus_checkpointed(rows, cpdir, min_quality=0.9, **{
+            k: v for k, v in MKW.items() if k != "min_quality"
+        })

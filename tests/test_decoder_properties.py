@@ -1,0 +1,102 @@
+"""Property-based decoder roundtrips (hypothesis): arbitrary small
+images and encoder parameter combinations must decode bit-exactly
+through the independent forward encoders — shrinking localizes any
+future decoder regression to a minimal failing image."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cleanvision_spark.operators.multimodal import decode_gif, decode_jpeg, decode_tiff
+from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+from tests.media_encoders import encode_gif, encode_tiff
+
+_SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def _img(draw, maxhw=6, channels=(1, 3), mult=1):
+    h = draw(st.integers(1, maxhw)) * mult
+    w = draw(st.integers(1, maxhw)) * mult
+    c = draw(st.sampled_from(channels))
+    seed = draw(st.integers(0, 2**31 - 1))
+    smooth = draw(st.booleans())
+    rng = np.random.default_rng(seed)
+    if smooth:  # mostly-zero AC coefficients / long runs
+        base = rng.integers(0, 256)
+        img = np.full((h, w, c), base, dtype=np.int64)
+        mask = rng.random((h, w, c)) < 0.05
+        img = img + mask * rng.integers(-60, 60, size=(h, w, c))
+        return np.clip(img, 0, 255).astype(np.uint8)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@st.composite
+def _jpeg_case(draw):
+    subsample = draw(st.booleans())
+    img = draw(
+        _img(maxhw=3, channels=(3,) if subsample else (1, 3), mult=16 if subsample else 8)
+    )
+    return img, subsample
+
+
+@settings(**_SETTINGS)
+@given(
+    case=_jpeg_case(),
+    restart=st.sampled_from([0, 1, 3]),
+    band_split=st.sampled_from([1, 5, 20, 62]),
+)
+def test_progressive_jpeg_matches_baseline(case, restart, band_split):
+    img, subsample = case
+    base = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, subsample=subsample, restart_interval=restart, band_split=band_split
+        )
+    )
+    assert (prog == base).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    hw=st.tuples(st.integers(1, 24), st.integers(1, 24)),
+    ncolors=st.integers(2, 16),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+    local_palette=st.booleans(),
+)
+def test_gif_roundtrip(hw, ncolors, seed, interlace, local_palette):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, size=hw, dtype=np.uint8)
+    got = decode_gif(
+        encode_gif(idx, pal, interlace=interlace, local_palette=local_palette)
+    )
+    assert (got == pal[idx]).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    img=_img(maxhw=20, channels=(1, 3, 4)),
+    big_endian=st.booleans(),
+    compression=st.sampled_from([1, 5, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    rps=st.sampled_from([None, 1, 3, 7]),
+)
+def test_tiff_roundtrip(img, big_endian, compression, predictor, rps):
+    got = decode_tiff(
+        encode_tiff(
+            img,
+            big_endian=big_endian,
+            compression=compression,
+            predictor=predictor,
+            rows_per_strip=rps,
+        )
+    )
+    assert (got == img).all()
