@@ -112,6 +112,10 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
                 return "tiff", decode_tiff(b)
             except UnsupportedMediaVariant:
                 return "unsupported", None
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            return "webp", None  # out-of-scope bitstream, tagged
+        if b[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or b[:4] == b"\xff\x4f\xff\x51":
+            return "jp2", None
         return "unsupported", None
     except Exception:
         return "corrupt", None

@@ -1140,6 +1140,14 @@ def _sniff(b: bytes | None) -> str:
         return "gif"
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    # recognized-but-undecodable formats keep an informative tag (the
+    # corpus report should say WHAT the unsupported bucket contains):
+    # WebP (VP8/VP8L bitstreams) and JPEG 2000 are documented
+    # out-of-scope — not stdlib-decodable (docs/COVERAGE.md)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
+    if b[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or b[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"
     return "unknown"
 
 
@@ -1207,6 +1215,10 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
                 )
         elif fmt == "empty":
             rec.update(format="empty")
+        elif fmt in ("webp", "jp2"):
+            # recognized container, out-of-scope bitstream: keep the
+            # informative tag (null dims mark it undecoded)
+            rec.update(format=fmt)
         else:
             rec.update(format="unsupported")
     except Exception:  # poison payload: keep the row, never kill the stage

@@ -126,3 +126,33 @@ def test_build_media_corpus(spark):
     # md5 rejected (cannot drop undecodable rows)
     with pytest.raises(ValueError):
         build_media_corpus(df, media_hash="md5")
+
+
+def test_build_media_corpus_parallelism_invariant(spark):
+    """Scores/keeps are pure functions of content: the media build's
+    output is identical at different partitionings (CLAUDE.md
+    invariant, extended to the mixed surface)."""
+    import numpy as np
+
+    from cleanvision_spark.cache import release_tracked
+    from cleanvision_spark.plans.corpus_build import build_media_corpus
+    from tests.media_encoders import encode_gif
+
+    rng = np.random.default_rng(51)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+
+    def gif(seed):
+        r = np.random.default_rng(seed)
+        return encode_gif(r.integers(0, 8, size=(8, 8), dtype=np.uint8), pal)
+
+    rows = [(i, f"plain document {i} with words", None) for i in range(30)]
+    rows += [(100 + i, None, gif(i % 5)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload binary")
+    outs = []
+    for nparts in (1, 7):
+        out = build_media_corpus(
+            df.repartition(nparts), splits={"train": 0.8, "val": 0.2}, salt="p"
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+        release_tracked()
+    assert outs[0] == outs[1]

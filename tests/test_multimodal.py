@@ -579,3 +579,18 @@ def test_imageqc_gif_tiff():
     assert fmt == "tiff" and (img == tif).all()
     fmt, img = _decode_image(encode_tiff(tif)[:12])
     assert fmt == "corrupt" and img is None
+
+
+def test_webp_jp2_tagged_not_unknown():
+    """Out-of-scope containers keep an informative format tag (a corpus
+    report should say WHAT the unsupported bucket holds)."""
+    from cleanvision_spark.operators.imageqc import _decode_image
+    from cleanvision_spark.operators.multimodal import _decode_one
+
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 32
+    jp2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 32
+    for payload, tag in ((webp, "webp"), (jp2, "jp2")):
+        rec = _decode_one(1, payload, 8)
+        assert rec["format"] == tag and rec["width"] is None
+        fmt, img = _decode_image(payload)
+        assert fmt == tag and img is None
