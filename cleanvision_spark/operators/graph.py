@@ -128,21 +128,27 @@ def connected_components(
     # contraction is a no-op, so the extra half-round changes nothing.
     # Both lazy checkpoints materialize inside the one fingerprint job;
     # plan depth between checkpoints stays 2 rounds (analysis O(1)).
-    for _ in range((max_iterations + 1) // 2):
-        mid = _canonical(_small_star(_large_star(cur))).localCheckpoint(
-            eager=False
-        )
-        nxt = _canonical(_small_star(_large_star(mid))).localCheckpoint(
-            eager=False
-        )
+    # ``max_iterations`` stays an exact bound on CONTRACTIONS run: the
+    # last check does a single contraction when the budget is odd.
+    rounds_run = 0
+    converged = False
+    while rounds_run < max_iterations:
+        steps = min(2, max_iterations - rounds_run)
+        nxt = cur
+        for _ in range(steps):
+            nxt = _canonical(_small_star(_large_star(nxt))).localCheckpoint(
+                eager=False
+            )
+        rounds_run += steps
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
-    else:
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
+            f"connected_components did not converge in {rounds_run} rounds"
         )
 
     # converged edge set is a forest of stars (child, root); nodes not

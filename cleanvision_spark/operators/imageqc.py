@@ -691,6 +691,25 @@ def image_near_duplicate_pairs(
     return hamming_pairs(hashed, "media_id", "img_hash64", max_hamming, n_blocks)
 
 
+def keep_one_per_hash(
+    hashed: DataFrame, id_col: str = "media_id", hash_col: str = "img_hash"
+) -> DataFrame:
+    """Canonical-member selection over hash-equality groups: keep the
+    row with the MINIMUM id per hash value. The single definition of
+    the media keep-one rule — shared by plans.build_media_corpus
+    (_media_union) and the streaming media dedup sink so batch and
+    stream semantics cannot drift (parity is pytest-asserted).
+    ``hashed`` must already exclude null hashes; the caller owns
+    persisting it (this frame is consumed by both the agg and the
+    join-back)."""
+    canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias("_cid"))
+    return (
+        hashed.join(canon, hash_col)
+        .filter(F.col(id_col) == F.col("_cid"))
+        .drop("_cid")
+    )
+
+
 def image_duplicate_scores(df: DataFrame, hash_type: str = "phash") -> DataFrame:
     """1/k duplicate scores + canonical flag over hash-EQUALITY groups —
     the reference's near/exact duplicate semantics on its literal image

@@ -821,6 +821,7 @@ def decode_gif(b: bytes) -> np.ndarray:
     sw = int.from_bytes(b[6:8], "little")
     sh = int.from_bytes(b[8:10], "little")
     packed = b[10]
+    bg_index = b[11]  # logical-screen background color index
     pos = 13
     gct = None
     if packed & 0x80:
@@ -884,12 +885,15 @@ def decode_gif(b: bytes) -> np.ndarray:
             if int(grid.max()) >= len(pal):
                 raise ValueError("GIF palette index out of range")
             # frame 0 composited onto the logical screen when it fits
-            # inside a larger one; oversized/out-of-bounds frames are
-            # returned as-is (what the frame actually contains)
+            # inside a larger one; the surround takes the screen's
+            # declared background color index (byte 11; fall back to 0
+            # when it points past the palette). Oversized/out-of-bounds
+            # frames are returned as-is (what the frame actually holds).
             if (left, top, w, h) != (0, 0, sw, sh) and (
                 sw * sh and left + w <= sw and top + h <= sh
             ):
-                canvas = np.zeros((sh, sw), dtype=np.uint8)
+                bg = bg_index if bg_index < len(pal) else 0
+                canvas = np.full((sh, sw), bg, dtype=np.uint8)
                 canvas[top : top + h, left : left + w] = grid
                 grid = canvas
             return pal[grid]
@@ -1025,6 +1029,8 @@ def decode_tiff(b: bytes) -> np.ndarray:
 
     if 322 in tags or 323 in tags:
         raise UnsupportedMediaVariant("tiled TIFF")
+    if tags.get(284, [1])[0] != 1:  # PlanarConfiguration 2 = per-plane strips
+        raise UnsupportedMediaVariant("planar TIFF")
     w = tag1(256)
     h = tag1(257)
     spp = tag1(277, 1)

@@ -333,14 +333,12 @@ def build_media_corpus(
 def _media_union(text_kept: DataFrame, hashed: DataFrame, id_col: str) -> DataFrame:
     """phash keep-one over the (media_id, format, img_hash) frame +
     union with the kept text rows — shared by the plain and
-    checkpointed media builders (stage semantics must never drift)."""
-    decoded = hashed.filter(F.col("img_hash").isNotNull())
-    canon = decoded.groupBy("img_hash").agg(F.min("media_id").alias("_cid"))
-    media_kept = (
-        decoded.join(canon, "img_hash")
-        .filter(F.col("media_id") == F.col("_cid"))
-        .drop("_cid")
-    )
+    checkpointed media builders, with the keep-one rule itself shared
+    with the streaming sink via imageqc.keep_one_per_hash (stage
+    semantics must never drift)."""
+    from cleanvision_spark.operators.imageqc import keep_one_per_hash
+
+    media_kept = keep_one_per_hash(hashed.filter(F.col("img_hash").isNotNull()))
     null_s = F.lit(None).cast("string")
     return text_kept.select(
         F.col(id_col),

@@ -401,29 +401,37 @@ def foreach_batch_media_dedup_sink(
         )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from cleanvision_spark.operators.imageqc import keep_one_per_hash
+
         spark = batch_df.sparkSession
         batchid = f"{run_id}-{epoch_id}"
+        # persisted: the decode+hash UDF output feeds BOTH the in-batch
+        # canonical agg and the join probe side (CLAUDE.md invariant —
+        # an unpersisted mapInPandas here would decode every image
+        # twice per batch)
         hashed = image_hashes(
             batch_df.select("media_id", "payload"), hash_type
-        ).filter(F.col("img_hash").isNotNull())
-        # keep-one within the batch first (min media_id per hash)
-        w_min = hashed.groupBy("img_hash").agg(F.min("media_id").alias("_cid"))
-        hashed = (
-            hashed.join(w_min, "img_hash")
-            .filter(F.col("media_id") == F.col("_cid"))
-            .drop("_cid")
-        )
-        fresh = hashed
-        for seen in _read_index_key_frames(spark, index_dir, batchid, ["img_hash"]):
-            fresh = fresh.join(seen, "img_hash", "left_anti")
-        fresh = fresh.persist()
+        ).filter(F.col("img_hash").isNotNull()).persist()
         try:
-            fresh.write.mode("overwrite").parquet(f"{out_dir}/batchid={batchid}")
-            fresh.select("img_hash").write.mode("overwrite").parquet(
-                f"{index_dir}/batchid={batchid}"
-            )
+            # keep-one within the batch first (same canonical rule as
+            # the batch builder — shared helper, semantics cannot drift)
+            fresh = keep_one_per_hash(hashed)
+            for seen in _read_index_key_frames(
+                spark, index_dir, batchid, ["img_hash"]
+            ):
+                fresh = fresh.join(seen, "img_hash", "left_anti")
+            fresh = fresh.persist()
+            try:
+                fresh.write.mode("overwrite").parquet(
+                    f"{out_dir}/batchid={batchid}"
+                )
+                fresh.select("img_hash").write.mode("overwrite").parquet(
+                    f"{index_dir}/batchid={batchid}"
+                )
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            hashed.unpersist()
 
     return _sink
 

@@ -52,6 +52,13 @@ def _gif_lzw_compress(indices: bytes, min_code_size: int) -> bytes:
         s = c
     if s:
         emit(table[s], width)
+        # the decoder adds a dictionary entry for EVERY code after the
+        # first — including this final one — and may bump the width
+        # before reading END; mirror that bookkeeping or END is written
+        # one bit short at a width boundary
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            width += 1
     emit(end, width)
     if cnt:
         out.append(buf & 0xFF)
@@ -164,6 +171,11 @@ def _tiff_lzw_compress(data: bytes) -> bytes:
         s = c
     if s:
         emit(s[0] if len(s) == 1 else table[s], width)
+        # mirror the decoder's entry-add + early width change for the
+        # final data code (see the GIF encoder note)
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(EOI, width)
     if cnt:
         out.append((buf << (8 - cnt)) & 0xFF)
@@ -202,6 +214,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
     photometric: int | None = None,
+    planar_config: int | None = None,
 ) -> bytes:
     """Strip-based 8-bit TIFF bytes for (h, w, c) uint8 (or (h, w, 1)
     indices with ``palette``). compression: 1=none, 5=LZW, 32773=PackBits."""
@@ -250,6 +263,8 @@ def encode_tiff(
     entry(279, 4, len(strips), [len(s) for s in strips])
     if predictor == 2:
         entry(317, 3, 1, [predictor])
+    if planar_config is not None:
+        entry(284, 3, 1, [planar_config])
     if palette is not None:
         cm = np.zeros((3, 256), dtype=np.int64)
         cm[:, : len(palette)] = palette.T.astype(np.int64) * 257

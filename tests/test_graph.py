@@ -98,3 +98,23 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iterations=1)
+
+
+def test_max_iterations_is_exact_contraction_bound(spark):
+    """max_iterations bounds the number of CONTRACTIONS run (the
+    doubled-round loop must not exceed it), and the non-convergence
+    error reports the rounds actually run."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.graph import connected_components
+
+    # a long path graph needs several rounds; budget 1 must refuse
+    edges = spark.range(40).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="in 1 rounds"):
+        connected_components(edges, max_iterations=1)
+    # a generous odd budget converges and stays within it
+    out = connected_components(edges, max_iterations=49)
+    assert out.filter("component = 0").count() == 41

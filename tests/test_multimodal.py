@@ -594,3 +594,36 @@ def test_webp_jp2_tagged_not_unknown():
         assert rec["format"] == tag and rec["width"] is None
         fmt, img = _decode_image(payload)
         assert fmt == tag and img is None
+
+
+def test_decode_tiff_planar_unsupported():
+    """PlanarConfiguration=2 (per-plane strips) is recognized and
+    rejected as a variant — not misread as corrupt or scrambled."""
+    from cleanvision_spark.operators.multimodal import (
+        UnsupportedMediaVariant,
+        decode_tiff,
+    )
+    from tests.media_encoders import encode_tiff
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_tiff(encode_tiff(img, planar_config=2))
+    # explicit chunky tag stays decodable
+    assert (decode_tiff(encode_tiff(img, planar_config=1)) == img).all()
+
+
+def test_decode_gif_background_index():
+    """The logical-screen surround takes the declared background color
+    index, not hardcoded palette entry 0."""
+    from cleanvision_spark.operators.multimodal import decode_gif
+    from tests.media_encoders import encode_gif
+
+    pal = np.array([[10, 10, 10], [20, 20, 20], [30, 30, 30], [40, 40, 40]],
+                   dtype=np.uint8)
+    idx = np.full((2, 2), 1, dtype=np.uint8)
+    raw = encode_gif(idx, pal, frame_rect=(1, 1, 4, 4))
+    # patch byte 11 (background color index) to 3
+    raw = raw[:11] + bytes([3]) + raw[12:]
+    got = decode_gif(raw)
+    assert (got[0, 0] == pal[3]).all()  # surround = background color
+    assert (got[1:3, 1:3] == pal[1]).all()  # frame contents
