@@ -245,6 +245,26 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
 
     t("image_issues_decode_score", _image_issues_run)
 
+    def _media_corpus_run():
+        from cleanvision_spark.cache import release_tracked
+        from cleanvision_spark.plans.corpus_build import build_media_corpus
+
+        is_media = F.col("doc_id") % 2 == 1
+        mixed = docs.join(
+            media.select(F.col("media_id").alias("doc_id"), "payload"), "doc_id"
+        ).select(
+            "doc_id",
+            F.when(~is_media, F.col("text")).alias("text"),
+            F.when(is_media, F.col("payload")).alias("payload"),
+        )
+        n = build_media_corpus(
+            mixed, splits={"train": 0.9, "val": 0.1}, salt="bm"
+        ).count()
+        release_tracked()
+        return n
+
+    t("corpus_build_media", _media_corpus_run)
+
     t("tpch_q1", lambda: entrymod.queries()["tpch_q1"](spark, SF_DIR).count())
     t(
         "event_sessions",
