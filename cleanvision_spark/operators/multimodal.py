@@ -1083,6 +1083,47 @@ def decode_tiff(b: bytes) -> np.ndarray:
     return img
 
 
+def webp_dimensions(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a WebP header WITHOUT decoding the
+    bitstream (the bitstreams are documented out of scope): VP8X
+    extended header (24-bit canvas dims minus one), VP8L signature
+    header (14-bit dims minus one), or lossy VP8 frame header (the
+    3-byte frame tag + 3-byte start code, then 14-bit dims).
+    Returns None when the chunk layout is unrecognized/truncated."""
+    try:
+        chunk = b[12:16]
+        size = int.from_bytes(b[16:20], "little")
+        p = b[20 : 20 + size]
+        if chunk == b"VP8X" and len(p) >= 10:
+            w = 1 + int.from_bytes(p[4:7], "little")
+            h = 1 + int.from_bytes(p[7:10], "little")
+            return w, h
+        if chunk == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+            bits = int.from_bytes(p[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if chunk == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+            return (
+                int.from_bytes(p[6:8], "little") & 0x3FFF,
+                int.from_bytes(p[8:10], "little") & 0x3FFF,
+            )
+    except Exception:
+        return None
+    return None
+
+
+def jp2_dimensions(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the JP2 'ihdr' box (ISO 15444-1 I.5.3.1)
+    WITHOUT decoding the codestream; None if not found/truncated."""
+    i = b.find(b"ihdr")
+    if i < 0 or i + 12 > len(b):
+        return None
+    h = int.from_bytes(b[i + 4 : i + 8], "big")
+    w = int.from_bytes(b[i + 8 : i + 12], "big")
+    if not (0 < w < 1 << 28 and 0 < h < 1 << 28):
+        return None
+    return w, h
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV to ((n_frames, channels) int16, sample_rate) via
     the stdlib wave module."""
@@ -1223,8 +1264,13 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
             rec.update(format="empty")
         elif fmt in ("webp", "jp2"):
             # recognized container, out-of-scope bitstream: keep the
-            # informative tag (null dims mark it undecoded)
+            # informative tag AND the header dimensions (a corpus
+            # report needs width/height even where pixels stay
+            # undecoded); null pixel stats mark it undecoded
+            dims = webp_dimensions(b) if fmt == "webp" else jp2_dimensions(b)
             rec.update(format=fmt)
+            if dims is not None:
+                rec.update(width=dims[0], height=dims[1])
         else:
             rec.update(format="unsupported")
     except Exception:  # poison payload: keep the row, never kill the stage

@@ -581,19 +581,83 @@ def test_imageqc_gif_tiff():
     assert fmt == "corrupt" and img is None
 
 
-def test_webp_jp2_tagged_not_unknown():
-    """Out-of-scope containers keep an informative format tag (a corpus
-    report should say WHAT the unsupported bucket holds)."""
+def test_webp_jp2_tagged_with_header_dims():
+    """Out-of-scope containers keep an informative format tag AND the
+    header dimensions (corpus reports need w/h without bitstream
+    decode); pixels stay undecoded (null stats)."""
+    from cleanvision_spark.operators.imageqc import _decode_image
+    from cleanvision_spark.operators.multimodal import (
+        _decode_one,
+        jp2_dimensions,
+        webp_dimensions,
+    )
+
+    # VP8L signature header: 0x2f then 14-bit (w-1), 14-bit (h-1) LSB-first
+    w, h = 320, 200
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = b"VP8L" + (5).to_bytes(4, "little") + bytes([0x2F]) + bits.to_bytes(4, "little")
+    webp_l = b"RIFF" + (len(vp8l) + 4).to_bytes(4, "little") + b"WEBP" + vp8l
+    assert webp_dimensions(webp_l) == (320, 200)
+    # VP8X canvas dims (24-bit minus-one)
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    webp_x = b"RIFF" + (len(vp8x) + 4).to_bytes(4, "little") + b"WEBP" + vp8x
+    assert webp_dimensions(webp_x) == (640, 480)
+    # lossy VP8 frame tag + start code 9d 01 2a then 14-bit dims
+    vp8 = b"VP8 " + (10).to_bytes(4, "little") + bytes(3) + b"\x9d\x01\x2a" + (101).to_bytes(2, "little") + (55).to_bytes(2, "little")
+    webp_y = b"RIFF" + (len(vp8) + 4).to_bytes(4, "little") + b"WEBP" + vp8
+    assert webp_dimensions(webp_y) == (101, 55)
+    # JP2 ihdr box: height then width, big-endian
+    jp2 = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+           + b"\x00\x00\x00\x16ihdr" + (77).to_bytes(4, "big") + (99).to_bytes(4, "big") + bytes(6))
+    assert jp2_dimensions(jp2) == (99, 77)
+
+    rec = _decode_one(1, webp_l, 8)
+    assert (rec["format"], rec["width"], rec["height"]) == ("webp", 320, 200)
+    assert rec["pixel_mean"] is None  # undecoded
+    rec = _decode_one(2, jp2, 8)
+    assert (rec["format"], rec["width"], rec["height"]) == ("jp2", 99, 77)
+    # garbage after the signature: tag survives, dims null
+    rec = _decode_one(3, b"RIFF\x24\x00\x00\x00WEBPXXXX" + b"\x00" * 32, 8)
+    assert rec["format"] == "webp" and rec["width"] is None
+    fmt, img = _decode_image(webp_l)
+    assert fmt == "webp" and img is None
+
+
+def test_decode_media_never_raises_on_garbage():
+    """Poison-safety: arbitrary byte soup — including truncations and
+    bit-flips of every REAL format — must tag rows, never raise."""
+    import numpy as np
+
     from cleanvision_spark.operators.imageqc import _decode_image
     from cleanvision_spark.operators.multimodal import _decode_one
+    from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+    from tests.media_encoders import encode_gif, encode_tiff
 
-    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 32
-    jp2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 32
-    for payload, tag in ((webp, "webp"), (jp2, "jp2")):
-        rec = _decode_one(1, payload, 8)
-        assert rec["format"] == tag and rec["width"] is None
-        fmt, img = _decode_image(payload)
-        assert fmt == tag and img is None
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    seeds = [
+        encode_jpeg(img),
+        encode_jpeg_progressive(img),
+        encode_gif(rng.integers(0, 8, size=(8, 8), dtype=np.uint8), pal),
+        encode_tiff(img, compression=5),
+        b"P5\n8 8\n255\n" + bytes(64),
+    ]
+    payloads = []
+    for s in seeds:
+        for cut in (3, 11, len(s) // 2, len(s) - 1):
+            payloads.append(s[:cut])
+        flip = bytearray(s)
+        for pos in rng.integers(0, len(s), size=8):
+            flip[pos] ^= 0xFF
+        payloads.append(bytes(flip))
+    for i in range(50):
+        payloads.append(bytes(rng.integers(0, 256, size=int(rng.integers(0, 200)), dtype=np.uint8)))
+    for i, p in enumerate(payloads):
+        rec = _decode_one(i, p, 8)
+        assert rec["format"] is not None, i
+        fmt, im = _decode_image(p)
+        assert isinstance(fmt, str), i
 
 
 def test_decode_tiff_planar_unsupported():
