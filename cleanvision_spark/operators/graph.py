@@ -120,32 +120,68 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
+    def _fingerprint_pair(a: DataFrame, b: DataFrame):
+        """Fingerprints of BOTH frames from ONE job (grouped agg over a
+        tagged union; ``a``'s lazy checkpoint materializes once and is
+        reused by ``b``'s branch)."""
+        tagged = a.select(F.lit(0).alias("_t"), "_src", "_dst").unionByName(
+            b.select(F.lit(1).alias("_t"), "_src", "_dst")
+        )
+        rows = {
+            r["_t"]: (r["n"], r["h"])
+            for r in tagged.groupBy("_t")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(_src, _dst))"), F.lit(0).cast("long")
+                ).alias("h"),
+            )
+            .collect()
+        }
+        empty = (0, 0)
+        return rows.get(0, empty), rows.get(1, empty)
+
     prev_fp = _fingerprint(cur)
-    # TWO contractions per convergence check: iteration cost here is
-    # DRIVER ROUND-TRIP latency, not data (per-round edges are tiny
-    # after the first contractions — BENCH r3), so halving the number
-    # of fingerprint collects halves wall time; past the fixed point a
-    # contraction is a no-op, so the extra half-round changes nothing.
-    # Both lazy checkpoints materialize inside the one fingerprint job;
-    # plan depth between checkpoints stays 2 rounds (analysis O(1)).
-    # ``max_iterations`` stays an exact bound on CONTRACTIONS run: the
+    # TWO contractions per convergence check, ONE driver round-trip:
+    # iteration cost here is round-trip latency, not data (per-round
+    # edges are tiny after the first contractions — BENCH r3). The
+    # grouped pair-fingerprint keeps the per-ROUND detection
+    # granularity of the single-step loop (fp(mid)==prev or
+    # fp(nxt)==fp(mid) catches a fixed point reached at either step —
+    # a tight even max_iterations that sufficed for the single-step
+    # loop still suffices). Both lazy checkpoints materialize inside
+    # the one job; plan depth between checkpoints stays <= 2 rounds.
+    # ``max_iterations`` is an exact bound on CONTRACTIONS run: the
     # last check does a single contraction when the budget is odd.
     rounds_run = 0
     converged = False
     while rounds_run < max_iterations:
         steps = min(2, max_iterations - rounds_run)
-        nxt = cur
-        for _ in range(steps):
-            nxt = _canonical(_small_star(_large_star(nxt))).localCheckpoint(
+        if steps == 1:
+            nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(
                 eager=False
             )
-        rounds_run += steps
-        fp = _fingerprint(nxt)
+            rounds_run += 1
+            fp = _fingerprint(nxt)
+            cur = nxt
+            if fp == prev_fp:
+                converged = True
+                break
+            prev_fp = fp
+            continue
+        mid = _canonical(_small_star(_large_star(cur))).localCheckpoint(
+            eager=False
+        )
+        nxt = _canonical(_small_star(_large_star(mid))).localCheckpoint(
+            eager=False
+        )
+        rounds_run += 2
+        fp_mid, fp_nxt = _fingerprint_pair(mid, nxt)
         cur = nxt
-        if fp == prev_fp:
+        if fp_mid == prev_fp or fp_nxt == fp_mid:
             converged = True
             break
-        prev_fp = fp
+        prev_fp = fp_nxt
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {rounds_run} rounds"

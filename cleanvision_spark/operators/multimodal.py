@@ -886,16 +886,21 @@ def decode_gif(b: bytes) -> np.ndarray:
                 raise ValueError("GIF palette index out of range")
             # frame 0 composited onto the logical screen when it fits
             # inside a larger one; the surround takes the screen's
-            # declared background color index (byte 11; fall back to 0
-            # when it points past the palette). Oversized/out-of-bounds
-            # frames are returned as-is (what the frame actually holds).
+            # declared background color (byte 11 — an index into the
+            # GLOBAL color table per GIF89a §18, even when the frame
+            # carries a local table, so the composite happens in RGB).
+            # Oversized/out-of-bounds frames are returned as-is.
             if (left, top, w, h) != (0, 0, sw, sh) and (
                 sw * sh and left + w <= sw and top + h <= sh
             ):
-                bg = bg_index if bg_index < len(pal) else 0
-                canvas = np.full((sh, sw), bg, dtype=np.uint8)
-                canvas[top : top + h, left : left + w] = grid
-                grid = canvas
+                if gct is not None and bg_index < len(gct):
+                    bg_rgb = gct[bg_index]
+                else:
+                    bg_rgb = np.zeros(3, dtype=np.uint8)
+                canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+                canvas[:, :] = bg_rgb
+                canvas[top : top + h, left : left + w] = pal[grid]
+                return canvas
             return pal[grid]
         elif blk == 0x3B:  # trailer
             break

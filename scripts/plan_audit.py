@@ -237,6 +237,7 @@ def main() -> None:
         "16-hex hash; the split tail is a codegen'd md5 CASE.",
         metrics(e.queries()["corpus_build_media"](spark, SF)),
     ))
+    release_tracked()
 
     lines = [
         "# Physical-plan audit (generated)",

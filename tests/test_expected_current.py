@@ -1,0 +1,41 @@
+"""The committed expected/ parquets must equal what the independent
+generator (scripts/make_expected.py) produces from the CURRENT kernels
+— at BOTH scale factors. tests/test_oracle_smoke.py proves Spark ==
+committed files at sf0.001; this closes the chain for sf0.01 (the
+driver's canonical compare scale): a semantics change that regenerates
+only one sf, or none, fails here instead of surfacing as a stale
+driver CORRECTNESS mismatch. Pure driver-side Python — no Spark."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from scripts.make_expected import BUILDERS, REPO, TESTDATA, connect
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return (
+        df.astype(str).sort_values(by=list(df.columns)).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_committed_expected_files_are_current(sf):
+    con = connect(f"{TESTDATA}/{sf}")
+    stale = []
+    for name, builder in BUILDERS.items():
+        path = os.path.join(REPO, "expected", sf, f"{name}.parquet")
+        assert os.path.exists(path), f"missing {path} — run scripts/make_expected.py"
+        committed = pd.read_parquet(path)
+        fresh, _ = builder(con)
+        if not _canon(committed).equals(_canon(fresh)):
+            stale.append(name)
+    con.close()
+    assert not stale, (
+        f"{sf} expected files stale vs current kernels: {stale} — "
+        "regenerate with scripts/make_expected.py"
+    )

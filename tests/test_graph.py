@@ -118,3 +118,33 @@ def test_max_iterations_is_exact_contraction_bound(spark):
     # a generous odd budget converges and stays within it
     out = connected_components(edges, max_iterations=49)
     assert out.filter("component = 0").count() == 41
+
+
+def test_tight_budgets_converge_consistently(spark):
+    """The fused pair-fingerprint keeps single-round detection
+    granularity: the minimal sufficient max_iterations and every
+    larger budget produce identical components (a tight even budget
+    must not spuriously raise)."""
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.operators.graph import connected_components
+
+    edges = spark.range(12).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    minimal = None
+    for budget in range(1, 20):
+        try:
+            base = sorted(
+                map(tuple, connected_components(edges, max_iterations=budget).collect())
+            )
+            minimal = budget
+            break
+        except RuntimeError:
+            continue
+    assert minimal is not None
+    for budget in (minimal + 1, minimal + 2, 40):
+        got = sorted(
+            map(tuple, connected_components(edges, max_iterations=budget).collect())
+        )
+        assert got == base, budget

@@ -691,3 +691,10 @@ def test_decode_gif_background_index():
     got = decode_gif(raw)
     assert (got[0, 0] == pal[3]).all()  # surround = background color
     assert (got[1:3, 1:3] == pal[1]).all()  # frame contents
+    # the background index refers to the GLOBAL table (GIF89a §18):
+    # with only a LOCAL palette there is no global table -> black
+    raw_local = encode_gif(idx, pal, frame_rect=(1, 1, 4, 4), local_palette=True)
+    raw_local = raw_local[:11] + bytes([3]) + raw_local[12:]
+    got = decode_gif(raw_local)
+    assert (got[0, 0] == [0, 0, 0]).all()
+    assert (got[1:3, 1:3] == pal[1]).all()
