@@ -120,68 +120,29 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    def _fingerprint_pair(a: DataFrame, b: DataFrame):
-        """Fingerprints of BOTH frames from ONE job (grouped agg over a
-        tagged union; ``a``'s lazy checkpoint materializes once and is
-        reused by ``b``'s branch)."""
-        tagged = a.select(F.lit(0).alias("_t"), "_src", "_dst").unionByName(
-            b.select(F.lit(1).alias("_t"), "_src", "_dst")
-        )
-        rows = {
-            r["_t"]: (r["n"], r["h"])
-            for r in tagged.groupBy("_t")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.expr("bit_xor(xxhash64(_src, _dst))"), F.lit(0).cast("long")
-                ).alias("h"),
-            )
-            .collect()
-        }
-        empty = (0, 0)
-        return rows.get(0, empty), rows.get(1, empty)
-
     prev_fp = _fingerprint(cur)
-    # TWO contractions per convergence check, ONE driver round-trip:
-    # iteration cost here is round-trip latency, not data (per-round
-    # edges are tiny after the first contractions — BENCH r3). The
-    # grouped pair-fingerprint keeps the per-ROUND detection
-    # granularity of the single-step loop (fp(mid)==prev or
-    # fp(nxt)==fp(mid) catches a fixed point reached at either step —
-    # a tight even max_iterations that sufficed for the single-step
-    # loop still suffices). Both lazy checkpoints materialize inside
-    # the one job; plan depth between checkpoints stays <= 2 rounds.
-    # ``max_iterations`` is an exact bound on CONTRACTIONS run: the
-    # last check does a single contraction when the budget is odd.
+    # ONE contraction per convergence check, one driver round-trip per
+    # round: the lazy checkpoint materializes inside the fingerprint
+    # job. A fused two-contractions-per-check variant was measured and
+    # REJECTED: with real convergence counts (a handful of rounds) it
+    # overshoots the fixed point by up to a full extra contraction
+    # (two groupBy+join passes) per run, which costs more than the
+    # collect it saves — interleaved A/B at sf0.001 put it ~15-20%
+    # slower (median 4.5 s vs 3.8 s over 6 alternated reps).
+    # ``max_iterations`` is an exact bound on contractions run.
     rounds_run = 0
     converged = False
     while rounds_run < max_iterations:
-        steps = min(2, max_iterations - rounds_run)
-        if steps == 1:
-            nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(
-                eager=False
-            )
-            rounds_run += 1
-            fp = _fingerprint(nxt)
-            cur = nxt
-            if fp == prev_fp:
-                converged = True
-                break
-            prev_fp = fp
-            continue
-        mid = _canonical(_small_star(_large_star(cur))).localCheckpoint(
+        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(
             eager=False
         )
-        nxt = _canonical(_small_star(_large_star(mid))).localCheckpoint(
-            eager=False
-        )
-        rounds_run += 2
-        fp_mid, fp_nxt = _fingerprint_pair(mid, nxt)
+        rounds_run += 1
+        fp = _fingerprint(nxt)
         cur = nxt
-        if fp_mid == prev_fp or fp_nxt == fp_mid:
+        if fp == prev_fp:
             converged = True
             break
-        prev_fp = fp_nxt
+        prev_fp = fp
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {rounds_run} rounds"
