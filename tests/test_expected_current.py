@@ -23,7 +23,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_committed_expected_files_are_current(sf):
     con = connect(f"{TESTDATA}/{sf}")
     stale = []
