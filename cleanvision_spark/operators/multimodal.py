@@ -1302,10 +1302,114 @@ def decode_media(df: DataFrame, thumb_size: int = 8) -> DataFrame:
     return df.mapInPandas(op, DECODED_SCHEMA)
 
 
+def parse_avi_mjpeg(b: bytes) -> tuple[float, list[bytes]]:
+    """(frame_period_ms, [jpeg frame bytes]) from an AVI (RIFF)
+    container with Motion-JPEG video — the one video codec this repo
+    can decode end to end (each frame is a baseline/progressive JPEG,
+    handled by decode_jpeg). Chunk walk only; '00dc'/'00db' stream-0
+    chunks are the frames; the frame period comes from the 'avih'
+    microseconds-per-frame field. Other codecs raise
+    UnsupportedMediaVariant; structural damage raises ValueError."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[bytes] = []
+    us_per_frame = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            body_end = body_start + ln
+            if body_end > end:
+                raise ValueError("AVI chunk overruns container")
+            if cid == b"LIST":
+                walk(body_start + 4, body_end)  # skip the list type tag
+            elif cid == b"avih" and ln >= 4:
+                us_per_frame = int.from_bytes(b[body_start : body_start + 4], "little")
+            elif cid in (b"00dc", b"00db") and ln > 0:
+                frames.append(b[body_start:body_end])
+            pos = body_end + (ln & 1)  # chunks are word-aligned
+
+    walk(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))
+    if not frames:
+        raise ValueError("AVI contains no stream-0 video frames")
+    if not frames[0].startswith(b"\xff\xd8"):
+        raise UnsupportedMediaVariant("non-MJPEG AVI codec")
+    return (us_per_frame / 1000.0 if us_per_frame else 0.0), frames
+
+
+FRAME_FIELDS = [
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("t_ms", T.DoubleType(), True),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("pixel_mean", T.DoubleType(), True),
+    T.StructField("frame_sha256", T.StringType(), True),
+]
+FRAME_SCHEMA = T.StructType(FRAME_FIELDS)
+
+
+def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling for MJPEG AVI payloads: one
+    mapInPandas pass parses the container, keeps every ``every_n``-th
+    frame, and decodes it with the existing JPEG machinery — emitting
+    per-frame dimensions, pixel mean, timestamp and content hash.
+    Non-AVI / non-MJPEG payloads degrade to a single tagged row
+    (format 'unsupported' / 'corrupt'), mirroring decode_media's
+    poison-safety. Per-row state only, so the pass parallelizes like
+    every other decode stage; at scale, sampled frames feed the same
+    image pipeline (imageqc scores / hash families) as still images."""
+    import hashlib
+
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            recs: list[dict] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                base = {f.name: None for f in FRAME_FIELDS if f.name != "media_id"}
+                try:
+                    period_ms, frames = parse_avi_mjpeg(payload)
+                except UnsupportedMediaVariant:
+                    recs.append({"media_id": mid, **base, "format": "unsupported"})
+                    continue
+                except Exception:
+                    recs.append({"media_id": mid, **base, "format": "corrupt"})
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    rec = {"media_id": mid, **base, "frame_idx": idx,
+                           "t_ms": round(idx * period_ms, 6)}
+                    try:
+                        img = decode_jpeg(frames[idx])
+                        rec.update(
+                            format="mjpeg",
+                            width=img.shape[1],
+                            height=img.shape[0],
+                            pixel_mean=round(float(img.mean()), 6),
+                            frame_sha256=hashlib.sha256(frames[idx]).hexdigest(),
+                        )
+                    except Exception:
+                        rec.update(format="corrupt")
+                    recs.append(rec)
+            out = pd.DataFrame(recs, columns=[f.name for f in FRAME_FIELDS])
+            for c in ("frame_idx", "width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(op, FRAME_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling stub: emits (media_id, frame_idx) rows with
-    deterministic fake frame hashes — the explode-shaped plumbing a real
-    ffmpeg-based sampler would use."""
+    """Metadata-only frame sampling for codecs this repo cannot decode
+    (no ffmpeg in scope): emits (media_id, frame_idx) rows with
+    deterministic fake frame hashes — the explode-shaped plumbing a
+    real external-decoder sampler would use. For MJPEG AVI use
+    ``frame_sample`` above, which decodes real frames."""
     from pyspark.sql import functions as F
 
     n_frames = (

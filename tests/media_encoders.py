@@ -302,3 +302,23 @@ def encode_tiff(
             opos += len(enc)
     ifd += u32(0)  # no next IFD
     return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
+
+
+# --- AVI (MJPEG) -----------------------------------------------------------
+
+
+def encode_avi_mjpeg(frames: list[bytes], us_per_frame: int = 33333) -> bytes:
+    """Minimal AVI container around pre-encoded JPEG frames: RIFF
+    'AVI ' > LIST hdrl (avih with the frame period) + LIST movi with
+    word-aligned 00dc chunks."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    avih = us_per_frame.to_bytes(4, "little") + bytes(52)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -698,3 +698,54 @@ def test_decode_gif_background_index():
     got = decode_gif(raw_local)
     assert (got[0, 0] == [0, 0, 0]).all()
     assert (got[1:3, 1:3] == pal[1]).all()
+
+
+def test_parse_avi_mjpeg_and_frame_sample(spark):
+    """Video frame sampling is REAL for MJPEG AVI: container parse +
+    per-frame decode through the existing JPEG machinery, with
+    poison-safe degradation for foreign codecs and garbage."""
+    import hashlib
+
+    from cleanvision_spark.operators.multimodal import (
+        UnsupportedMediaVariant,
+        decode_jpeg,
+        frame_sample,
+        parse_avi_mjpeg,
+    )
+    from tests.jpeg_encoder import encode_jpeg
+    from tests.media_encoders import encode_avi_mjpeg
+
+    rng = np.random.default_rng(61)
+    imgs = [
+        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    frames = [encode_jpeg(im) for im in imgs]
+    avi = encode_avi_mjpeg(frames, us_per_frame=40000)  # 25 fps
+    period, got = parse_avi_mjpeg(avi)
+    assert period == 40.0 and got == frames
+    with pytest.raises(UnsupportedMediaVariant):
+        parse_avi_mjpeg(encode_avi_mjpeg([b"\x00\x00notjpeg"]))
+    with pytest.raises(ValueError):
+        parse_avi_mjpeg(avi[:20])
+
+    rows = [
+        (1, "video", avi, {}),
+        (2, "video", b"RIFF\x10\x00\x00\x00AVI garbage!", {}),
+        (3, "video", b"not a container at all", {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    out = frame_sample(df, every_n=2).collect()
+    sampled = sorted(
+        (r["frame_idx"], r["t_ms"], r["frame_sha256"])
+        for r in out
+        if r["media_id"] == 1
+    )
+    assert [s[0] for s in sampled] == [0, 2, 4]
+    assert [s[1] for s in sampled] == [0.0, 80.0, 160.0]
+    assert sampled[1][2] == hashlib.sha256(frames[2]).hexdigest()
+    r1 = next(r for r in out if r["media_id"] == 1 and r["frame_idx"] == 0)
+    dec = decode_jpeg(frames[0])
+    assert (r1["format"], r1["width"], r1["height"]) == ("mjpeg", 16, 16)
+    assert abs(r1["pixel_mean"] - round(float(dec.mean()), 6)) < 1e-9
+    tags = {r["media_id"]: r["format"] for r in out if r["media_id"] != 1}
+    assert tags[2] == "corrupt" and tags[3] == "corrupt"
