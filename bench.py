@@ -286,6 +286,10 @@ def main() -> None:
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
+                # bench_total_sec includes data-gen/session setup and is NOT
+                # round-comparable; sum_of_queries_sec (warm min-of-2 query
+                # time only) is the cross-round headline signal.
+                "sum_of_queries_sec": round(sum(timings.values()), 3),
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": CPUS,

@@ -104,7 +104,10 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             from cleanvision_spark.operators.multimodal import decode_gif
 
-            return "gif", decode_gif(b)
+            try:
+                return "gif", decode_gif(b)
+            except UnsupportedMediaVariant:
+                return "unsupported", None
         if b[:4] in (b"II*\x00", b"MM\x00*"):
             from cleanvision_spark.operators.multimodal import decode_tiff
 

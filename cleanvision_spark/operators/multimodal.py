@@ -364,7 +364,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     the dominant lossy format, including the progressive variant that
     dominates web-crawled JPEGs. Entropy decode is per-block Python (a
     real deployment swaps in PIL/turbojpeg via the same interface);
-    everything after it is vectorized/exact-integer numpy."""
+    everything after it is vectorized/exact-integer numpy.
+
+    Known limitation: coefficients are dequantized with the quant
+    tables in effect at end-of-stream, so a stream that legally
+    redefines a DQT slot *between scans of one frame* (T.81 permits
+    DQT between SOS markers) would dequantize earlier scans with the
+    later table. libjpeg snapshots each component's table at its first
+    SOS; single-table-per-slot streams (the overwhelming norm, and all
+    baseline JPEGs) are unaffected."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1364,6 +1372,8 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
     poison-safety. Per-row state only, so the pass parallelizes like
     every other decode stage; at scale, sampled frames feed the same
     image pipeline (imageqc scores / hash families) as still images."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
     import hashlib
 
     import pandas as pd

@@ -1,0 +1,403 @@
+"""Known-vector tests for the shared text kernels, with SECOND
+implementations written in this file (pure Python dicts/loops — not
+imported from the package, which is vectorized numpy).
+
+The parquet-expected oracles (scripts/make_expected.py) and the synth
+label generator import the same kernel functions the pandas UDFs wrap,
+so they prove the distributed *plan* exact but would not catch a bug
+inside a shared kernel. This module closes that gap, mirroring the
+reference's closed-form unit-test discipline
+(/root/reference/tests/test_image_property_helpers.py:21-73):
+
+- every expected value below is an embedded LITERAL that was derived by
+  the in-file second implementation (committed after a three-way match),
+  so changing any package kernel breaks a literal;
+- the second implementations are asserted against the same literals, so
+  the literals cannot drift to "whatever the package says".
+
+Kernel subtleties the second implementations pin explicitly:
+- token/shingle/minhash/band arithmetic wraps mod 2^64 (numpy uint64
+  semantics) BEFORE the mod-(2^61-1) reduction — spelled `% W64` here;
+- band b of the minhash signature covers the CONTIGUOUS rows
+  [b*rows_per_band, (b+1)*rows_per_band) (the package's strided
+  `sig[r::rows_per_band][:bands]` indexing, transposed);
+- the surprisal cache model counts occurrences-before with incremental
+  dicts (the package uses an argsort trick) and must agree exactly;
+- langid profiles subtract the cross-language mean log-prob per bucket.
+
+Only training DATA (`langid._SAMPLES`) and numpy's seeded Generator
+(to reproduce the fixed minhash permutation constants) are imported —
+no package kernel code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import zlib
+
+import numpy as np
+
+from cleanvision_spark.functions.entropy import char_entropy
+from cleanvision_spark.functions.hashing import (
+    band_hashes,
+    fingerprint64,
+    minhash_bands,
+    minhash_signature,
+    simhash64,
+)
+from cleanvision_spark.functions.langid import _SAMPLES, predict_lang
+from cleanvision_spark.functions.perplexity import surprisal_quantiles
+
+M61 = (1 << 61) - 1
+W64 = 1 << 64
+MIX = 0x9E3779B97F4A7C15
+MAX_TOKENS = 16384
+
+
+# --- second implementations (pure Python) -----------------------------------
+
+
+def _tok_hashes2(s: str) -> list[int]:
+    out = []
+    for t in s.split()[:MAX_TOKENS]:
+        h = zlib.crc32(t.encode("utf-8", "replace"))
+        out.append(((h + 1) * MIX) % W64 % M61)
+    return out
+
+
+def _shingles2(s: str, k: int = 5) -> list[int]:
+    th = _tok_hashes2(s)
+    if not th:
+        return []
+    k = min(k, len(th))
+    seen = set()
+    for i in range(len(th) - k + 1):
+        acc = th[i]
+        for j in range(1, k):
+            acc = ((acc * 1000003 + th[i + j]) % W64) % M61
+        seen.add(acc)
+    return sorted(seen)
+
+
+def _perms2(num_perm: int = 128) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, M61, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, M61, size=num_perm, dtype=np.int64)
+    return [int(v) for v in a], [int(v) for v in b]
+
+
+def minhash_signature2(s: str, num_perm: int = 128, k: int = 5) -> list[int]:
+    x = _shingles2(s, k)
+    if not x:
+        return [0] * num_perm
+    a, b = _perms2(num_perm)
+    return [min(((ai * xi + bi) % W64) % M61 for xi in x) for ai, bi in zip(a, b)]
+
+
+def band_hashes2(sig: list[int], bands: int = 16) -> list[int]:
+    rpb = len(sig) // bands
+    out = []
+    for bidx in range(bands):
+        acc = bidx + 1
+        for r in range(rpb):
+            acc = ((acc * 1000003 + sig[bidx * rpb + r]) % W64) % M61
+        out.append(acc)
+    return out
+
+
+def simhash2(s: str) -> int:
+    if not s:
+        return 0
+    th = _tok_hashes2(s)
+    if not th:
+        return 0
+    word = 0
+    for bit in range(61):
+        votes = sum(1 if (h >> bit) & 1 else -1 for h in th)
+        if votes > 0:
+            word |= 1 << bit
+    return word
+
+
+def fingerprint2(s: str | None) -> int:
+    if s is None:
+        return 0
+    norm = " ".join(s.lower().split())
+    d = hashlib.blake2b(norm.encode("utf-8", "replace"), digest_size=8).digest()
+    return int.from_bytes(d, "little") >> 1
+
+
+def entropy2(s: str, cap: int = 262_144) -> float:
+    if not s:
+        return 0.0
+    counts: dict[str, int] = {}
+    for ch in s[:cap]:
+        counts[ch] = counts.get(ch, 0) + 1
+    n = sum(counts.values())
+    return -sum((v / n) * math.log2(v / n) for v in counts.values())
+
+
+_NB = 1 << 18
+_LANGID_CAP = 8192
+
+
+def _trigrams2(s: str) -> list[int]:
+    b = s.encode("utf-8", "replace")
+    return [
+        ((b[i] << 16) + (b[i + 1] << 8) + b[i + 2]) % _NB for i in range(len(b) - 2)
+    ]
+
+
+def predict_lang2(s: str) -> str:
+    if not s:
+        return "unknown"
+    h = _trigrams2(s[:_LANGID_CAP])
+    if not h:
+        return "unknown"
+    langs = sorted(_SAMPLES)
+    logps: dict[str, tuple[dict[int, float], float]] = {}
+    for lang in langs:
+        cnt: dict[int, int] = {}
+        tg = _trigrams2(_SAMPLES[lang])
+        for x in tg:
+            cnt[x] = cnt.get(x, 0) + 1
+        total = len(tg)
+        lp = {x: math.log(0.95 * (c / total) + 0.05 / _NB) for x, c in cnt.items()}
+        logps[lang] = (lp, math.log(0.05 / _NB))
+    best_lang, best = "unknown", -math.inf
+    for lang in langs:
+        lp, dflt = logps[lang]
+        score = 0.0
+        for x in h:
+            mean = sum(logps[l][0].get(x, logps[l][1]) for l in langs) / len(langs)
+            score += lp.get(x, dflt) - mean
+        score /= len(h)
+        if score > best:
+            best_lang, best = lang, score
+    return best_lang
+
+
+_PCTS = [1, 5, 10, 15, 90, 95, 99]
+
+
+def surprisal_quantiles2(s: str) -> dict[str, float]:
+    if not s:
+        q = [0.0]
+    else:
+        b = list(s[:16384].encode("utf-8", "replace"))
+        if len(b) < 3:
+            q = [0.0]
+        else:
+            text = "\n".join(_SAMPLES[k] for k in sorted(_SAMPLES))
+            tb = list(text.encode("utf-8"))
+            uni = [0.0] * 256
+            for c in tb:
+                uni[c] += 1.0
+            bi: dict[tuple[int, int], float] = {}
+            for i in range(len(tb) - 1):
+                key = (tb[i], tb[i + 1])
+                bi[key] = bi.get(key, 0.0) + 1.0
+            tri: dict[int, float] = {}
+            for i in range(len(tb) - 2):
+                x = (tb[i] * 65536 + tb[i + 1] * 256 + tb[i + 2]) % (1 << 20)
+                tri[x] = tri.get(x, 0.0) + 1.0
+            n_uni = sum(uni)
+            # cache counts: for bigram position j, occurrences of the bigram
+            # (b[j], b[j+1]) among positions < j and of char b[j] in b[:j]
+            occ_bi, occ_prev = [], []
+            cb: dict[tuple[int, int], int] = {}
+            cc: dict[int, int] = {}
+            for j in range(len(b) - 1):
+                g = (b[j], b[j + 1])
+                occ_bi.append(cb.get(g, 0))
+                occ_prev.append(cc.get(b[j], 0))
+                cb[g] = cb.get(g, 0) + 1
+                cc[b[j]] = cc.get(b[j], 0) + 1
+            q = []
+            for i in range(2, len(b)):
+                c0, c1, c2 = b[i - 2], b[i - 1], b[i]
+                p_uni = (uni[c2] + 0.5) / (n_uni + 128.0)
+                bi_cnt = bi.get((c1, c2), 0.0)
+                uni_ctx = uni[c1]
+                if bi_cnt > 0 and uni_ctx > 0:
+                    p_bi = bi_cnt / max(uni_ctx, 1.0)
+                else:
+                    p_bi = 0.4 * p_uni
+                th = (c0 * 65536 + c1 * 256 + c2) % (1 << 20)
+                tri_cnt = tri.get(th, 0.0)
+                bi_ctx = bi.get((c0, c1), 0.0)
+                if tri_cnt > 0 and bi_ctx > 0:
+                    p_st = tri_cnt / max(bi_ctx, 1.0)
+                else:
+                    p_st = 0.4 * p_bi
+                p_st = min(max(p_st, 1e-12), 1.0)
+                j = i - 1  # drop first bigram to align with trigram positions
+                p_cache = min(max(occ_bi[j] / max(occ_prev[j], 1.0), 0.0), 1.0)
+                p = 0.7 * p_st + 0.3 * p_cache
+                bits = -math.log2(min(max(p, 1e-12), 1.0))
+                q.append(min(max(bits / 16.0, 0.0), 1.0))
+    qs = sorted(q)
+    out = {}
+    for pct in _PCTS:
+        idx = (pct / 100.0) * (len(qs) - 1)
+        lo = int(idx)
+        hi = min(lo + 1, len(qs) - 1)
+        out[f"q_p{pct}"] = qs[lo] + (qs[hi] - qs[lo]) * (idx - lo)
+    out["q_mean"] = sum(q) / len(q)
+    return out
+
+
+# --- literal known vectors (derived by the implementations above) -----------
+
+KNOWN = {
+    "the quick brown fox jumps over the lazy dog": {
+        "simhash": 806880715923060474,
+        "fp64": 8754433553397471893,
+        "bands": [102527805848628791, 1961840658769678335, 1099792204561094423, 866781739241232247, 1935427990863793928, 224223213794393301, 102797999595439516, 2261458366793687180, 2064585743214176331, 1187891394005203457, 1272769271701113038, 1919800604514353309, 276406219773863490, 2048027376432444478, 1265044162868500505, 1918407701914396961],
+        "entropy": 4.385453417442482,
+    },
+    "def main():\n    return 42\n": {
+        "simhash": 589994336541136149,
+        "fp64": 9093399473070137177,
+        "bands": [697161586497455369, 1214566400842446791, 1237730511412571297, 621271270800725756, 1299494740562920466, 1074271110212591896, 1630017880350240022, 934208266884731910, 1357404761925782686, 1115838312218321062, 1736712510835537815, 425200847530246150, 906661263559951714, 643072167430350067, 1843231126136268771, 1964677513185734911],
+        "entropy": 3.796217602590055,
+    },
+    "a b c d e f g h i j k l m n o p": {
+        "simhash": 192885952965739706,
+        "fp64": 2294965907988357779,
+        "bands": [926228005168134322, 773536102814796397, 1103862720557802763, 6499819996118535, 1949451765938921140, 662105286594403551, 2094159548358955645, 1104437922902667613, 804003826108801666, 479401169965114665, 1915549124984990971, 102185755326009318, 1551053059207136312, 1344194120522535802, 1985386732604944794, 1355854154182841649],
+        "entropy": 3.063765377027914,
+    },
+    "x": {
+        "simhash": 438771609052760279,
+        "fp64": 2858720872202629029,
+        "bands": [2017994257212600296, 1784678354232041194, 1949018127306522240, 1103866941219138752, 1052781458746440108, 1570220572757833644, 794873350623712211, 1696430710459294831, 1934068828609967862, 1020671788302662795, 511350827864532352, 912223165587504247, 677389063004669225, 1650822301583506598, 1472384281812350182, 2185364930139465671],
+        "entropy": 0.0,
+    },
+    "": {
+        "simhash": 0,
+        "fp64": 6510301506637419378,
+        "bands": [1860990376819297047, 1289357580800811643, 956372349542455695, 1384745553533970299, 2007530131264444270, 480135526298129003, 1102912103987602926, 575523499031287659, 1086432675584720618, 626675280751276250, 181814648300879250, 722063253476434882, 277210621082037978, 1597871394616714422, 802944561976453454, 1581384966176832066],
+        "entropy": 0.0,
+    },
+    "the the the the the the the the": {
+        "simhash": 844308093879969784,
+        "fp64": 448085334752140011,
+        "bands": [849384072089806378, 1567850308532308082, 862327787105212877, 1801926332457861981, 1972562925397120100, 1828421393094954330, 731283940823172556, 1732464401217885039, 138841154270071030, 144776161931801628, 702379827693381265, 1909466099049306037, 764428461901469026, 1934171694350366251, 228543895114602794, 1984026215949155914],
+        "entropy": 1.997696811857739,
+    },
+    "import os\nimport sys\nfor i in range(10): print(i)": {
+        "simhash": 61063381959533170,
+        "fp64": 3912548384014195960,
+        "bands": [1230854228108271336, 1376120426894745008, 1570467985115347563, 1824825700553475609, 205550005240786462, 22553430893713242, 2051255383868233601, 1454796543813554247, 803062222071017909, 1688315867052127118, 1482763562504016355, 380605757262409382, 1352763323602846107, 1079354573833512360, 661962365816875926, 1199454255087257654],
+        "entropy": 4.030041670814299,
+    },
+}
+
+SURP_KNOWN = {
+    "def main():\n    return 42\n": {
+        "q_p1": 0.02513821757822572,
+        "q_p5": 0.030161866010957848,
+        "q_p10": 0.032160823301859896,
+        "q_p15": 0.032160823301859896,
+        "q_p90": 0.3368776058887825,
+        "q_p95": 0.7111431816359022,
+        "q_p99": 0.9481519102483561,
+        "q_mean": 0.17746738990762082,
+    },
+    "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb " * 5: {
+        "q_p1": 0.1084258202997214,
+        "q_p5": 0.12875580821206384,
+        "q_p10": 0.13116281891352774,
+        "q_p15": 0.13186846604656252,
+        "q_p90": 0.23612812503208444,
+        "q_p95": 0.2424139909975469,
+        "q_p99": 0.5848707248973828,
+        "q_mean": 0.16858356288651621,
+    },
+    "x": {f"q_p{p}": 0.0 for p in _PCTS} | {"q_mean": 0.0},
+    "": {f"q_p{p}": 0.0 for p in _PCTS} | {"q_mean": 0.0},
+    "for (int i = 0; i < n; i++) { total += i; }": {
+        "q_p1": 0.008698082585507671,
+        "q_p5": 0.022983236531280458,
+        "q_p10": 0.032160823301859896,
+        "q_p15": 0.032160823301859896,
+        "q_p90": 0.2562209795969322,
+        "q_p95": 0.46036621971145764,
+        "q_p99": 0.6053889587502045,
+        "q_mean": 0.14511694591676846,
+    },
+}
+
+LANG_KNOWN = {
+    "def handler(request):\n    items = [x for x in request.args if x]\n    return items\n": "python",
+    "public class Foo {\n    private final int count;\n    public Foo(int c) { this.count = c; }\n}\n": "java",
+    "func Load(path string) (map[string]string, error) {\n    f, err := os.Open(path)\n    if err != nil { return nil, err }\n}\n": "go",
+    "": "unknown",
+}
+
+
+# --- tests -------------------------------------------------------------------
+
+
+def test_simhash_known_vectors():
+    for s, d in KNOWN.items():
+        assert simhash64(s) == d["simhash"], repr(s)
+        assert simhash2(s) == d["simhash"], repr(s)
+
+
+def test_fingerprint_known_vectors():
+    for s, d in KNOWN.items():
+        assert fingerprint64(s) == d["fp64"], repr(s)
+        assert fingerprint2(s) == d["fp64"], repr(s)
+    # normalization invariants, against literals only
+    assert fingerprint64("  The   QUICK\tbrown\nfox  ") == fingerprint64(
+        "the quick brown fox"
+    )
+    assert fingerprint64(None) == 0
+
+
+def test_minhash_bands_known_vectors():
+    for s, d in KNOWN.items():
+        assert minhash_bands(s) == d["bands"], repr(s)
+        sig2 = minhash_signature2(s)
+        assert band_hashes2(sig2) == d["bands"], repr(s)
+        # full 128-row signature agreement (bands only compress 8 rows each)
+        assert minhash_signature(s).tolist() == sig2, repr(s)
+        assert band_hashes(np.array(sig2, dtype=np.int64)).tolist() == d["bands"]
+
+
+def test_char_entropy_known_vectors():
+    for s, d in KNOWN.items():
+        assert abs(char_entropy(s) - d["entropy"]) <= 1e-12, repr(s)
+        assert abs(entropy2(s) - d["entropy"]) <= 1e-12, repr(s)
+    # cap: chars beyond MAX_SCORED_CHARS must not contribute
+    long = "a" * 262_144 + "bcdefg"
+    assert char_entropy(long) == 0.0
+    assert entropy2(long) == 0.0
+
+
+def test_predict_lang_known_vectors():
+    for s, want in LANG_KNOWN.items():
+        assert predict_lang(s) == want, repr(s[:40])
+        assert predict_lang2(s) == want, repr(s[:40])
+
+
+def test_surprisal_known_vectors():
+    for s, want in SURP_KNOWN.items():
+        got = surprisal_quantiles(s)
+        got2 = surprisal_quantiles2(s)
+        for k, v in want.items():
+            assert abs(got[k] - v) <= 1e-12, (repr(s[:40]), k, got[k], v)
+            assert abs(got2[k] - v) <= 1e-12, (repr(s[:40]), k, got2[k], v)
+
+
+def test_surprisal_repetition_darkens():
+    """The cache-LM property the dark signal depends on: heavy repetition
+    pushes surprisal down (boilerplate scores 'dark')."""
+    rep = surprisal_quantiles2("line of code\n" * 200)
+    fresh = surprisal_quantiles2(
+        "def parse(x):\n    return [v.strip() for v in x.split(',') if v]\n"
+    )
+    assert rep["q_mean"] < fresh["q_mean"]

@@ -1,5 +1,10 @@
 """Run every __spark_entry__ query against its DuckDB oracle at sf0.001 —
-a local replica of the driver's correctness gate."""
+a local replica of the driver's correctness gate — and every
+extra_queries() entry again at sf0.1, the only scale whose documents
+table contains real (non-planted) duplicate texts. The driver gives the
+in-window queries sf0.01 (per-round) and the expected-backed ones sf0.1
+(tests/test_expected_current.py); this second leg closes the same
+dup-rich-scale gap for the 19 auxiliary queries."""
 
 from __future__ import annotations
 
@@ -9,10 +14,12 @@ import __spark_entry__ as entrymod
 from tests.oracle_util import assert_matches_oracle
 
 SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_DUP = "/root/testdata/sf0.1"
 
 ORACLES = entrymod.oracle_sql()
 ALL_QUERIES = {**entrymod.queries(), **entrymod.extra_queries()}
 QUERY_KEYS = sorted(ALL_QUERIES.keys())
+EXTRA_KEYS = sorted(entrymod.extra_queries().keys())
 
 
 def test_driver_window_cap():
@@ -40,3 +47,16 @@ def test_query_vs_oracle(spark, key):
         # this suite runs at sf0.001 — point at that scale's files
         sql = sql.replace("/sf0.01/", "/sf0.001/")
     assert_matches_oracle(df, sql, SF_DIR)
+
+
+@pytest.mark.parametrize("key", EXTRA_KEYS)
+def test_extra_query_vs_oracle_dup_scale(spark, key):
+    """The 19 auxiliary queries, value-checked at sf0.1 — the scale with
+    real duplicate texts (documents is 500 unique rows at sf0.001/sf0.01,
+    so dup-path queries match trivially there)."""
+    fn = entrymod.extra_queries()[key]
+    df = fn(spark, SF_DIR_DUP)
+    sql = ORACLES[key]
+    if key in entrymod.EXPECTED_QUERIES:
+        sql = sql.replace("/sf0.01/", "/sf0.1/")
+    assert_matches_oracle(df, sql, SF_DIR_DUP)

@@ -473,3 +473,83 @@ def test_media_dedup_sink_real_stream(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == 10
+
+
+def test_watermark_late_rows_dropped_exact(spark, tmp_path):
+    """Exact late-data semantics for the watermarked event-time window agg
+    (VERDICT r4 item 7): two file micro-batches processed in order —
+
+    - batch 0 fills window [10:00, 10:05) and carries a 10:20 event that
+      advances the watermark to 10:10 at batch end;
+    - batch 1 carries a LATE 10:01 event (behind the watermark -> must be
+      dropped) and an on-time 10:21 event (window still open -> withheld
+      in append mode).
+
+    Assert the memory sink holds exactly the sealed [10:00, 10:05) window
+    and that its counts equal the BATCH aggregation over the on-time rows
+    only — i.e. drop/keep is exact, not just 'fewer rows than input'."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from cleanvision_spark.streaming.stream import stream_event_window_counts
+
+    def ts(h, m, s=0):
+        return dt.datetime(2024, 1, 1, h, m, s)
+
+    b0 = [
+        (ts(10, 0, 30), "click", 1.0),
+        (ts(10, 1, 0), "click", 2.0),
+        (ts(10, 4, 0), "view", 4.0),
+        (ts(10, 20, 0), "click", 8.0),  # advances watermark to 10:10
+    ]
+    b1 = [
+        (ts(10, 1, 30), "click", 16.0),  # LATE: behind the 10:10 watermark
+        (ts(10, 21, 0), "view", 32.0),  # on time, window still open
+    ]
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+
+    def write_one_file(rows, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(src, name + ".parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))  # file source orders by mod time
+
+    write_one_file(b0, "batch0", 1_000_000_000)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    agg = stream_event_window_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_exact")
+        .outputMode("append")
+        .start()
+    )
+    # batch 0: all rows on time (watermark starts at epoch); watermark
+    # advances to 10:10 when the batch commits
+    q.processAllAvailable()
+    # batch 1: arrives AFTER the watermark advanced — the 10:01:30 row is
+    # now late and must be dropped; the sealed [10:00, 10:05) window is
+    # emitted by this batch
+    write_one_file(b1, "batch1", 1_000_000_600)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql(
+        "SELECT window.start AS ws, event_type, n, total_value "
+        "FROM wm_exact ORDER BY ws, event_type"
+    ).collect()
+    # only the sealed [10:00, 10:05) window is emitted; the late 10:01:30
+    # row is NOT in it, and the open [10:20, 10:25) window is withheld
+    assert [(r["ws"], r["event_type"], r["n"], r["total_value"]) for r in got] == [
+        (ts(10, 0), "click", 2, 3.0),
+        (ts(10, 0), "view", 1, 4.0),
+    ]
