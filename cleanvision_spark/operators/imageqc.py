@@ -57,6 +57,7 @@ from cleanvision_spark.operators.multimodal import (
     decode_jpeg,
     decode_png,
     decode_ppm,
+    pixels_to_uint8,
 )
 
 MAX_RESOLUTION_FOR_BLURRY_DETECTION = 64  # reference constants.py:20
@@ -93,7 +94,7 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
             return "netpbm", decode_ppm(b)
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             try:
-                return "png", decode_png(b)
+                return "png", pixels_to_uint8(decode_png(b))
             except UnsupportedMediaVariant:
                 return "unsupported", None
         if b[:3] == b"\xff\xd8\xff":

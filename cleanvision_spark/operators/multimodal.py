@@ -3,16 +3,17 @@
 Decode coverage is format-tiered:
 - REAL decoders, zero external deps: PPM/PGM images (P2/P3/P5/P6 —
   header + raw pixels, parsed with numpy), PNG (stdlib ``zlib`` IDAT
-  inflate + per-scanline filter reconstruction in numpy — 8-bit
-  non-interlaced, color types 0/2/3/4/6), baseline JPEG (SOF0 Huffman:
+  inflate + per-scanline filter reconstruction in numpy — 8-bit and
+  16-bit, non-interlaced and Adam7-interlaced, color types 0/2/3/4/6),
+  baseline JPEG (SOF0 Huffman:
   canonical-code entropy decode, dequantize, integer 8x8 IDCT, chroma
   upsample, YCbCr->RGB — grayscale/4:4:4/subsampled, restart markers)
   and PCM WAV audio (stdlib ``wave``). ``decode_media`` emits
   width/height/channels, pixel mean/std, an 8x8 grayscale thumbnail,
   sample rate / duration / RMS — all computed distributed inside
   mapInPandas.
-- Valid-but-out-of-scope variants (16-bit or interlaced PNG,
-  progressive/arithmetic/12-bit JPEG, video containers) decode to
+- Valid-but-out-of-scope variants (bit-packed sub-byte-depth PNG,
+  arithmetic/12-bit JPEG, video containers) decode to
   ``format='unsupported'`` rows rather than failing the job — at
   100 TB a poison payload must never kill a stage.
 
@@ -150,20 +151,88 @@ class UnsupportedMediaVariant(ValueError):
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace pass geometry: (x_origin, y_origin, x_step, y_step).
+# Each pass is an independently-filtered sub-image whose scanlines are
+# concatenated in the single inflated IDAT stream (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reconstruct one (sub-)image's scanlines from filtered bytes:
+    h rows of [filter_type byte][rowbytes filtered bytes]. Returns a
+    (h, rowbytes) uint8 array. ``bpp`` is bytes per complete pixel — the
+    left-neighbor distance the Sub/Average/Paeth predictors use, so the
+    same code serves 8-bit (bpp = channels) and 16-bit (bpp = 2*channels)
+    images: high and low bytes ride separate residual lanes.
+
+    Filters 0/1/2 are fully vectorized (Sub via mod-256 prefix sums);
+    Average/Paeth keep a per-byte loop (left-neighbor data dependency).
+    """
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowbytes + 1)
+    ftypes = rows[:, 0]
+    data32 = rows[:, 1:].astype(np.int32)
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data32[y]
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: prefix sum per byte lane, mod 256
+            rec = np.cumsum(row.reshape(-1, bpp).astype(np.int64), axis=0).reshape(
+                rowbytes
+            ) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average (left-dependency: per-byte loop)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * rowbytes
+            for x in range(rowbytes):
+                left = rec_l[x - bpp] if x >= bpp else 0
+                rec_l[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            rec = np.array(rec_l, dtype=np.int32)
+        elif f == 4:  # Paeth (left-dependency: per-byte loop)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * rowbytes
+            for x in range(rowbytes):
+                a = rec_l[x - bpp] if x >= bpp else 0
+                up = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec_l[x] = (rl[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.int32)
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int32)
+    return out
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to (h, w, c) uint8 with stdlib
-    zlib + numpy only (no PIL): chunk walk, IDAT inflate, then the five
-    scanline filters (None/Sub/Up/Average/Paeth) reconstructed row by
-    row. Palette images are expanded through PLTE to RGB.
+    """Decode an 8- or 16-bit, non-interlaced or Adam7-interlaced PNG to
+    (h, w, c) uint8 (or uint16 for depth-16 sources) with stdlib zlib +
+    numpy only (no PIL): chunk walk, IDAT inflate, then the five scanline
+    filters (None/Sub/Up/Average/Paeth) reconstructed row by row —
+    per Adam7 pass for interlaced streams, each pass an independent
+    sub-image scattered back on its (origin, step) grid. Palette images
+    are expanded through PLTE to RGB.
 
     Covers the reference's core decode step (fsspec_dataset.py:55-59 —
     PIL.Image.open over fetched bytes) for the dominant lossless format.
-    Filters 0/1/2 are fully vectorized (Sub via mod-256 prefix sums);
-    Average/Paeth keep a per-byte loop (left-neighbor data dependency).
-    16-bit depth / interlace raise UnsupportedMediaVariant; structural
-    damage raises ValueError (tagged 'corrupt' by decode_media).
+    Sub-byte depths (1/2/4, bit-packed scanlines) raise
+    UnsupportedMediaVariant; structural damage raises ValueError (tagged
+    'corrupt' by decode_media). Callers that need 0-255 pixels pass the
+    result through :func:`pixels_to_uint8`.
     """
     import struct
     import zlib
@@ -193,59 +262,45 @@ def decode_png(b: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) < 13 or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if comp != 0 or filt != 0 or w == 0 or h == 0:
+    if comp != 0 or filt != 0 or w == 0 or h == 0 or interlace not in (0, 1):
         raise ValueError("bad IHDR")
     if ct not in _PNG_CHANNELS:
         raise ValueError(f"bad color type {ct}")
-    if depth != 8 or interlace != 0:
-        raise UnsupportedMediaVariant(
-            f"PNG variant not decoded here (depth={depth}, interlace={interlace})"
-        )
+    if depth == 16 and ct == 3:  # spec: palette allows depths 1/2/4/8 only
+        raise ValueError("bad IHDR")
+    if depth not in (8, 16):
+        raise UnsupportedMediaVariant(f"PNG bit depth not decoded here ({depth})")
     nch = _PNG_CHANNELS[ct]
-    stride = w * nch
+    bpp = nch * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    data32 = rows[:, 1:].astype(np.int32)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = int(ftypes[y])
-        row = data32[y]
-        if f == 0:  # None
-            rec = row
-        elif f == 1:  # Sub: prefix sum per channel offset, mod 256
-            rec = np.cumsum(row.reshape(w, nch).astype(np.int64), axis=0).reshape(
-                stride
-            ) % 256
-        elif f == 2:  # Up
-            rec = (row + prev) % 256
-        elif f == 3:  # Average (left-dependency: per-byte loop)
-            rl, pl = row.tolist(), prev.tolist()
-            rec_l = [0] * stride
-            for x in range(stride):
-                left = rec_l[x - nch] if x >= nch else 0
-                rec_l[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
-            rec = np.array(rec_l, dtype=np.int32)
-        elif f == 4:  # Paeth (left-dependency: per-byte loop)
-            rl, pl = row.tolist(), prev.tolist()
-            rec_l = [0] * stride
-            for x in range(stride):
-                a = rec_l[x - nch] if x >= nch else 0
-                up = pl[x]
-                c = pl[x - nch] if x >= nch else 0
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                rec_l[x] = (rl[x] + pred) & 0xFF
-            rec = np.array(rec_l, dtype=np.int32)
-        else:
-            raise ValueError(f"bad scanline filter {f}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec.astype(np.int32)
-    img = out.reshape(h, w, nch)
+    if interlace == 0:
+        rowbytes = w * bpp
+        if len(raw) != h * (rowbytes + 1):
+            raise ValueError("IDAT size mismatch")
+        flat = _png_unfilter(raw, h, rowbytes, bpp)
+    else:  # Adam7: unfilter each pass, scatter onto the (origin, step) grid
+        flat = np.zeros((h, w * bpp), dtype=np.uint8)
+        grid = flat.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:  # pass empty at this image size
+                continue
+            rb = pw * bpp
+            need = ph * (rb + 1)
+            if off + need > len(raw):
+                raise ValueError("IDAT size mismatch")
+            sub = _png_unfilter(raw[off : off + need], ph, rb, bpp)
+            off += need
+            grid[y0:h:dy, x0:w:dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
+    if depth == 16:  # big-endian sample pairs -> uint16
+        pairs = flat.reshape(h, w, nch, 2).astype(np.uint16)
+        img: np.ndarray = (pairs[..., 0] << 8) | pairs[..., 1]
+    else:
+        img = flat.reshape(h, w, nch)
     if ct == 3:  # palette -> RGB
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
             raise ValueError("palette image without valid PLTE")
@@ -254,6 +309,15 @@ def decode_png(b: bytes) -> np.ndarray:
             raise ValueError("palette index out of range")
         img = pal[img[:, :, 0]]
     return img
+
+
+def pixels_to_uint8(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded pixel array to 0-255 uint8 for the scoring
+    kernels: 16-bit samples keep their high byte (the standard 16->8
+    downsample; what PIL's convert() does for I;16 content)."""
+    if img.dtype == np.uint8:
+        return img
+    return (img >> 8).astype(np.uint8)
 
 
 _ZIGZAG = np.array(
@@ -1244,7 +1308,7 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
             )
         elif fmt == "png":
             try:
-                img = decode_png(b)
+                img = pixels_to_uint8(decode_png(b))
             except UnsupportedMediaVariant:
                 rec.update(format="unsupported")
             else:

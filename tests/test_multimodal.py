@@ -29,6 +29,7 @@ from cleanvision_spark.operators.multimodal import (
     decode_wav,
     extract_features,
     frame_sample_stub,
+    pixels_to_uint8,
     thumbnail_gray,
 )
 
@@ -53,26 +54,33 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_bytes(
-    img: np.ndarray,
-    filters: list[int] | None = None,
-    color_type: int | None = None,
-    bitdepth: int = 8,
-    interlace: int = 0,
-    palette: np.ndarray | None = None,
-) -> bytes:
-    """Independent PNG encoder: applies the requested filter per scanline
-    using the spec's FORWARD formulas (filtered = raw - predictor)."""
-    h, w, nch = img.shape
-    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch] if color_type is None else color_type
-    flat = img.reshape(h, w * nch).astype(np.int64)
-    prev = np.zeros(w * nch, dtype=np.int64)
+# Adam7 pass geometry straight from the PNG spec (§8.2) — written here
+# independently, not imported from the package, so the decoder's copy of
+# the table is cross-checked by the roundtrip.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_filter_rows(rows: np.ndarray, bpp: int, filters: list[int] | None) -> bytes:
+    """Forward-filter (h, rowbytes) int64 byte rows per the spec formulas
+    (filtered = raw - predictor), predictors at left-offset ``bpp``."""
+    h, rowbytes = rows.shape
+    prev = np.zeros(rowbytes, dtype=np.int64)
     raw = b""
     for y in range(h):
         f = filters[y % len(filters)] if filters else 0
-        row = flat[y]
-        left = np.concatenate([np.zeros(nch, dtype=np.int64), row[:-nch]])
-        upleft = np.concatenate([np.zeros(nch, dtype=np.int64), prev[:-nch]])
+        row = rows[y]
+        left = np.zeros(rowbytes, dtype=np.int64)
+        left[bpp:] = row[: rowbytes - bpp]
+        upleft = np.zeros(rowbytes, dtype=np.int64)
+        upleft[bpp:] = prev[: rowbytes - bpp]
         if f == 0:
             enc = row
         elif f == 1:
@@ -90,6 +98,44 @@ def _png_bytes(
             enc = row - pred
         raw += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
         prev = row
+    return raw
+
+
+def _png_bytes(
+    img: np.ndarray,
+    filters: list[int] | None = None,
+    color_type: int | None = None,
+    bitdepth: int = 8,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Independent PNG encoder: applies the requested filter per scanline
+    using the spec's FORWARD formulas (filtered = raw - predictor);
+    16-bit samples are written big-endian and Adam7 passes are extracted
+    and filtered independently per the spec's pass grids."""
+    h, w, nch = img.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch] if color_type is None else color_type
+    if bitdepth == 16:
+        byts = np.ascontiguousarray(img.astype(">u2")).view(np.uint8)
+        bpp = nch * 2
+    else:  # sub-byte depths only appear in header-reject tests: the body
+        # is written 8-bit because the decoder rejects on IHDR alone
+        byts = img.astype(np.uint8)
+        bpp = nch
+    rows = byts.reshape(h, w * bpp).astype(np.int64)
+    if interlace == 1:
+        grid = rows.reshape(h, w, bpp)
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = grid[y0:h:dy, x0:w:dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw += _png_filter_rows(
+                np.ascontiguousarray(sub).reshape(ph, pw * bpp), bpp, filters
+            )
+    else:
+        raw = _png_filter_rows(rows, bpp, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, ct, 0, 0, interlace)
     chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -182,13 +228,57 @@ def test_decode_png_color_types():
     assert (got == pal[idx[:, :, 0]]).all()
 
 
+def test_decode_png_adam7():
+    """Adam7 roundtrips exactly at sizes where different subsets of the
+    seven passes are empty (1x1 has only pass 1; 8x8+ has all seven)."""
+    rng = np.random.default_rng(21)
+    for hh, ww in [(1, 1), (2, 3), (3, 2), (7, 7), (8, 8), (9, 13), (16, 5), (4, 31)]:
+        img = rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        got = decode_png(_png_bytes(img, interlace=1, filters=[0, 1, 2, 3, 4]))
+        assert (got == img).all(), (hh, ww)
+    gray = rng.integers(0, 256, size=(10, 11, 1), dtype=np.uint8)
+    assert (decode_png(_png_bytes(gray, interlace=1, filters=[4])) == gray).all()
+    rgba = rng.integers(0, 256, size=(12, 9, 4), dtype=np.uint8)
+    assert (decode_png(_png_bytes(rgba, interlace=1, filters=[3, 4])) == rgba).all()
+    # palette + interlace
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(11, 6, 1), dtype=np.uint8)
+    got = decode_png(_png_bytes(idx, color_type=3, palette=pal, interlace=1))
+    assert (got == pal[idx[:, :, 0]]).all()
+
+
+def test_decode_png_16bit():
+    """16-bit samples roundtrip bit-exact (both bytes, not just the high
+    one) for every filter; pixels_to_uint8 keeps the high byte."""
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 65536, size=(9, 6, 3), dtype=np.uint16)
+    for f in (0, 1, 2, 3, 4):
+        got = decode_png(_png_bytes(img, bitdepth=16, filters=[f]))
+        assert got.dtype == np.uint16 and (got == img).all(), f"filter {f}"
+    # 16-bit + Adam7 combined
+    got = decode_png(_png_bytes(img, bitdepth=16, interlace=1, filters=[0, 1, 2, 3, 4]))
+    assert (got == img).all()
+    g16 = rng.integers(0, 65536, size=(5, 8, 1), dtype=np.uint16)
+    assert (decode_png(_png_bytes(g16, bitdepth=16, filters=[3])) == g16).all()
+    ga16 = rng.integers(0, 65536, size=(4, 7, 2), dtype=np.uint16)
+    assert (decode_png(_png_bytes(ga16, bitdepth=16, color_type=4)) == ga16).all()
+    assert (pixels_to_uint8(img) == (img >> 8).astype(np.uint8)).all()
+    u8 = rng.integers(0, 256, size=(3, 3, 1), dtype=np.uint8)
+    assert pixels_to_uint8(u8) is u8
+
+
 def test_decode_png_rejects():
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
     with pytest.raises(UnsupportedMediaVariant):
-        decode_png(_png_bytes(img, bitdepth=16))
-    with pytest.raises(UnsupportedMediaVariant):
-        decode_png(_png_bytes(img, interlace=1))
+        decode_png(_png_bytes(img, bitdepth=4))  # bit-packed sub-byte depth
+    with pytest.raises(ValueError):
+        decode_png(_png_bytes(img, interlace=2))  # no such interlace method
+    # 16-bit palette is illegal per spec (palette depths are 1/2/4/8)
+    pal16 = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx16 = rng.integers(0, 4, size=(2, 2, 1), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        decode_png(_png_bytes(idx16, color_type=3, bitdepth=16, palette=pal16))
     good = _png_bytes(img)
     with pytest.raises(ValueError):
         decode_png(good[:40])  # truncated mid-chunk
@@ -216,25 +306,37 @@ def test_decode_media_distributed(spark):
     img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
     png_img = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
     samples = rng.integers(-5000, 5000, size=(1600, 1), dtype=np.int16)
+    img16 = rng.integers(0, 65536, size=(6, 10, 3), dtype=np.uint16)
     rows = [
         (1, "image", _ppm_bytes(img), {}),
         (2, "audio", _wav_bytes(samples, 16000), {}),
         (3, "image", _png_bytes(png_img, filters=[0, 1, 2, 3, 4]), {}),
         (4, "image", b"P6\n2 2\n255\n\x00", {}),  # truncated: corrupt
         (5, "image", None, {}),
-        (6, "image", _png_bytes(png_img, bitdepth=16), {}),  # unsupported variant
+        (6, "image", _png_bytes(img, bitdepth=4), {}),  # unsupported variant
         (7, "image", b"\x89PNG\r\n\x1a\n garbage chunks", {}),  # corrupt
         (8, "audio", _wav_bytes(np.zeros((0, 1), dtype=np.int16)), {}),  # 0 frames
+        (9, "image", _png_bytes(img16, bitdepth=16, filters=[2, 4]), {}),
+        (10, "image", _png_bytes(png_img, interlace=1, filters=[1, 3]), {}),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
     out = {r["media_id"]: r for r in decode_media(df).collect()}
-    assert len(out) == 8
+    assert len(out) == 10
     r3 = out[3]
     assert (r3["format"], r3["width"], r3["height"], r3["channels"]) == ("png", 14, 9, 3)
     assert abs(r3["pixel_mean"] - round(float(png_img.mean()), 6)) < 1e-9
     assert abs(r3["pixel_std"] - round(float(png_img.std()), 6)) < 1e-9
     assert out[6]["format"] == "unsupported"
     assert out[7]["format"] == "corrupt"
+    # 16-bit PNG decodes; pixel stats run on the high-byte 8-bit view
+    hi = (img16 >> 8).astype(np.uint8)
+    r9 = out[9]
+    assert (r9["format"], r9["width"], r9["height"], r9["channels"]) == ("png", 10, 6, 3)
+    assert abs(r9["pixel_mean"] - round(float(hi.mean()), 6)) < 1e-9
+    # Adam7-interlaced PNG decodes to the same stats as its source pixels
+    r10 = out[10]
+    assert (r10["format"], r10["width"], r10["height"]) == ("png", 14, 9)
+    assert abs(r10["pixel_mean"] - round(float(png_img.mean()), 6)) < 1e-9
     assert out[8]["format"] == "wav" and out[8]["audio_rms"] == 0.0
     assert out[8]["duration_ms"] == 0.0
     r1 = out[1]

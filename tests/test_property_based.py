@@ -84,19 +84,26 @@ def test_fingerprint_whitespace_invariant(s):
     st.sampled_from([1, 2, 3, 4]),
     st.lists(st.integers(0, 4), min_size=1, max_size=5),
     st.integers(0, 2**32 - 1),
+    st.sampled_from([8, 16]),
+    st.booleans(),
 )
 @settings(max_examples=40, deadline=None)
-def test_png_roundtrip_property(h, w, nch, filters, seed):
-    """decode(encode(img)) == img for arbitrary sizes, channel counts
-    and filter sequences — the PNG unfilter path against the spec's
-    forward formulas."""
+def test_png_roundtrip_property(h, w, nch, filters, seed, bitdepth, interlace):
+    """decode(encode(img)) == img for arbitrary sizes, channel counts,
+    filter sequences, bit depths and interlace modes — the PNG unfilter +
+    Adam7 reassembly path against the spec's forward formulas."""
     import numpy as np
 
     from cleanvision_spark.operators.multimodal import decode_png
     from tests.test_multimodal import _png_bytes
 
-    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, nch), dtype=np.uint8)
-    assert (decode_png(_png_bytes(img, filters=filters)) == img).all()
+    rng = np.random.default_rng(seed)
+    if bitdepth == 16:
+        img = rng.integers(0, 65536, size=(h, w, nch), dtype=np.uint16)
+    else:
+        img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    enc = _png_bytes(img, filters=filters, bitdepth=bitdepth, interlace=int(interlace))
+    assert (decode_png(enc) == img).all()
 
 
 @given(st.integers(1, 3), st.integers(1, 3), st.booleans(), st.integers(0, 2**32 - 1))
