@@ -26,21 +26,31 @@ def normalized_text(col: str = "text") -> F.Column:
 
 
 def dedup_normalized(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """1/k scores + canonical flag on normalized-text groups."""
+    """1/k scores + canonical flag on normalized-text groups.
+
+    Only duplicated groups join back (count > 1; unique rows default via
+    coalesce) so the join side stays broadcast-small and a mega-duplicate
+    key never lands on one reduce task (duplicates._dup_join_side has the
+    full AQE-skew story; pinned by tests/test_skew.py)."""
     norm_sha = F.sha2(normalized_text(text_col), 256)
     out = df.withColumn("_nsha", norm_sha)
-    counts = out.groupBy("_nsha").agg(
-        F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id")
+    counts = (
+        out.groupBy("_nsha")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("dup_count") > 1)
     )
+    cnt = F.coalesce(F.col("dup_count"), F.lit(1))
     return (
         out.join(counts, "_nsha", "left")
         .select(
             F.col(id_col),
             F.col("_nsha").alias("norm_sha256"),
-            F.col("dup_count"),
-            (F.lit(1.0) / F.col("dup_count")).alias("dedup_score"),
-            (F.col("dup_count") > 1).alias("is_duplicate"),
-            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+            cnt.alias("dup_count"),
+            (F.lit(1.0) / cnt).alias("dedup_score"),
+            (cnt > 1).alias("is_duplicate"),
+            F.coalesce(F.col(id_col) == F.col("canonical_id"), F.lit(True)).alias(
+                "is_canonical"
+            ),
         )
     )
 
@@ -95,15 +105,20 @@ def dedup_simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     out = tracked_persist(
         df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
     )
-    counts = out.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id")
+    counts = (
+        out.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("dup_count") > 1)  # dup-only join side: broadcast-small
     )
+    cnt = F.coalesce(F.col("dup_count"), F.lit(1))
     return out.join(counts, "simhash", "left").select(
         id_col,
         "simhash",
-        "dup_count",
-        (F.col("dup_count") > 1).alias("is_duplicate"),
-        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        cnt.alias("dup_count"),
+        (cnt > 1).alias("is_duplicate"),
+        F.coalesce(F.col(id_col) == F.col("canonical_id"), F.lit(True)).alias(
+            "is_canonical"
+        ),
     )
 
 

@@ -13,10 +13,12 @@ MinHash-LSH band buckets for near (north_star). Bucket equality — not a
 distance join, and no connected components — mirrors the reference.
 
 Scale notes:
-- counts per hash via groupBy (map-side partial agg) + shuffle join back,
-  NOT a window over partitionBy(hash): a pathological key (e.g. the empty
-  file duplicated 10^8 times) would put all its rows in one window
-  partition, while AQE skew-join splits the join fine.
+- counts per hash via groupBy (map-side partial agg) + join back of the
+  DUPLICATED keys only, NOT a window over partitionBy(hash): a
+  pathological key (e.g. the empty file duplicated 10^8 times) would put
+  all its rows in one window partition, while the dup-only join side is
+  broadcast-small so the hot key never forms a reduce partition either
+  (see _dup_join_side; pinned by tests/test_skew.py).
 - near-dup bands: explode multiplies rows by #bands before the shuffle,
   so the signature/bands are computed on a capped prefix of content and
   band hashes are longs, keeping shuffle bytes bounded.
@@ -67,20 +69,54 @@ def content_hash_expr(hash_type: str, content_col: str = "content") -> F.Column:
     raise ValueError(f"unknown hash_type {hash_type!r}; one of {HASH_TYPES}")
 
 
-def exact_duplicate_scores(df: DataFrame) -> DataFrame:
+def _dup_join_side(agg_df: DataFrame, barrier: bool) -> DataFrame:
+    """Prepare a per-key aggregate for the join back onto the row table.
+
+    AQE's OptimizeSkewedJoin only fires when BOTH join inputs are plain
+    ENSURE_REQUIREMENTS shuffle reads; an aggregate (or a user
+    repartition) directly below the join blocks the rule, so a
+    mega-duplicate content key's fact-side partition could never be
+    split (measured: SortMergeJoin never gains skew=true in the fused
+    agg-then-join plan). Two defenses, pinned by tests/test_skew.py:
+
+    - The callers filter the aggregate to DUPLICATED keys only before
+      calling this, so the join side is small in the common case and AQE
+      dynamically converts the join to broadcast — the fact side is then
+      read per map partition (local shuffle read) and a mega key never
+      forms a single reduce partition at all.
+    - ``barrier=True`` (for corpora whose duplicated-key table exceeds
+      broadcast size) truncates lineage with a lazy localCheckpoint, so
+      the join plans fresh ENSURE_REQUIREMENTS exchanges on both sides
+      and AQE's skew-join rule CAN split the mega partition. Tradeoff:
+      localCheckpoint data is not fault tolerant (an executor loss makes
+      the job unrecoverable) — hence opt-in, not default.
+    """
+    return agg_df.localCheckpoint(eager=False) if barrier else agg_df
+
+
+def exact_duplicate_scores(df: DataFrame, skew_barrier: bool = False) -> DataFrame:
     """Add exact_duplicates_score / is_exact_duplicates_issue.
 
     score = 1/k for members of a k-row identical-content group, 1.0
     otherwise; flag = score != 1 (duplicate_issue_manager.py:197-217).
+
+    Scale: only keys with count > 1 join back (unique rows default via
+    coalesce), so the join side stays broadcast-small and a
+    mega-duplicate key cannot become a reduce-side straggler; see
+    :func:`_dup_join_side` for the ``skew_barrier`` escape hatch.
     """
     if "sha256" not in df.columns:
         df = with_sha256(df)
-    counts = df.groupBy("sha256").agg(F.count(F.lit(1)).alias("_dup_cnt"))
-    out = df.join(counts, "sha256", "left")
-    score = (F.lit(1.0) / F.col("_dup_cnt")).alias(score_col("exact_duplicates"))
-    return out.withColumn(score_col("exact_duplicates"), score).withColumn(
-        flag_col("exact_duplicates"), F.col("_dup_cnt") > 1
-    ).drop("_dup_cnt")
+    counts = (
+        df.groupBy("sha256")
+        .agg(F.count(F.lit(1)).alias("_dup_cnt"))
+        .filter(F.col("_dup_cnt") > 1)
+    )
+    out = df.join(_dup_join_side(counts, skew_barrier), "sha256", "left")
+    cnt = F.coalesce(F.col("_dup_cnt"), F.lit(1))
+    return out.withColumn(
+        score_col("exact_duplicates"), F.lit(1.0) / cnt
+    ).withColumn(flag_col("exact_duplicates"), cnt > 1).drop("_dup_cnt")
 
 
 def near_duplicate_scores(
@@ -175,23 +211,33 @@ def near_duplicate_scores(
     )
 
 
-def exact_duplicates_full(df: DataFrame, hash_type: str = "sha256") -> DataFrame:
+def exact_duplicates_full(
+    df: DataFrame, hash_type: str = "sha256", skew_barrier: bool = False
+) -> DataFrame:
     """Score + flag + canonical marker in ONE groupBy on the selected
     content hash (``hash_type``, default sha256 — see HASH_TYPES).
 
     Count and min-key are computed in the same aggregation (one shuffle,
     one join) — separate exact_duplicate_scores + with_exact_canonical
-    passes cost an extra scan, shuffle and join at scale.
+    passes cost an extra scan, shuffle and join at scale. Only keys with
+    count > 1 join back (unique rows are their own canonicals via
+    coalesce), keeping the join side broadcast-small so a mega-duplicate
+    key cannot pile onto one reduce task; ``skew_barrier`` covers the
+    non-broadcastable regime (:func:`_dup_join_side`).
     """
     key = F.struct(*[F.col(c) for c in KEY_COLS])
     if hash_type == "sha256":
         if "sha256" not in df.columns:
             df = with_sha256(df)
-        agg = df.groupBy("sha256").agg(
-            F.count(F.lit(1)).alias("_dup_cnt"),
-            F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+        agg = (
+            df.groupBy("sha256")
+            .agg(
+                F.count(F.lit(1)).alias("_dup_cnt"),
+                F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+            )
+            .filter(F.col("_dup_cnt") > 1)
         )
-        out = df.join(agg, "sha256", "left")
+        out = df.join(_dup_join_side(agg, skew_barrier), "sha256", "left")
     else:
         # slim (key, hash) projection; persisted for UDF families so the
         # hash evaluates once despite feeding both the agg and the join
@@ -200,15 +246,19 @@ def exact_duplicates_full(df: DataFrame, hash_type: str = "sha256") -> DataFrame
             from cleanvision_spark.cache import tracked_persist
 
             hashes = tracked_persist(hashes, eager=True)
-        agg = hashes.groupBy("_dup_hash").agg(
-            F.count(F.lit(1)).alias("_dup_cnt"),
-            F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+        agg = (
+            hashes.groupBy("_dup_hash")
+            .agg(
+                F.count(F.lit(1)).alias("_dup_cnt"),
+                F.min(F.struct(*[F.col(c) for c in KEY_COLS])).alias("_canon_key"),
+            )
+            .filter(F.col("_dup_cnt") > 1)
         )
         # re-group by key before joining back: duplicate (repo,path,commit)
         # keys must not fan out K rows into K*K (mirrors the per-key agg
         # in near_duplicate_scores)
         per_row = (
-            hashes.join(agg, "_dup_hash")
+            hashes.join(_dup_join_side(agg, skew_barrier), "_dup_hash")
             .groupBy(*KEY_COLS)
             .agg(
                 F.max("_dup_cnt").alias("_dup_cnt"),
@@ -216,12 +266,14 @@ def exact_duplicates_full(df: DataFrame, hash_type: str = "sha256") -> DataFrame
             )
         )
         out = df.join(per_row, KEY_COLS, "left")
+    cnt = F.coalesce(F.col("_dup_cnt"), F.lit(1))
     return (
-        out.withColumn(
-            score_col("exact_duplicates"), F.lit(1.0) / F.col("_dup_cnt")
+        out.withColumn(score_col("exact_duplicates"), F.lit(1.0) / cnt)
+        .withColumn(flag_col("exact_duplicates"), cnt > 1)
+        .withColumn(
+            "_is_canonical_exact_duplicates",
+            F.coalesce(key == F.col("_canon_key"), F.lit(True)),
         )
-        .withColumn(flag_col("exact_duplicates"), F.col("_dup_cnt") > 1)
-        .withColumn("_is_canonical_exact_duplicates", key == F.col("_canon_key"))
         .drop("_dup_cnt", "_canon_key")
     )
 

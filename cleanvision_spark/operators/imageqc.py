@@ -705,12 +705,21 @@ def keep_one_per_hash(
     stream semantics cannot drift (parity is pytest-asserted).
     ``hashed`` must already exclude null hashes; the caller owns
     persisting it (this frame is consumed by both the agg and the
-    join-back)."""
-    canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias("_cid"))
+    join-back).
+
+    Only hashes with >= 2 members join back (a unique hash keeps its row
+    trivially), so the join side is broadcast-small and a mega-duplicate
+    hash cannot pile onto one reduce task (see
+    duplicates._dup_join_side for the AQE-skew rationale)."""
+    canon = (
+        hashed.groupBy(hash_col)
+        .agg(F.min(id_col).alias("_cid"), F.count(F.lit(1)).alias("_ck"))
+        .filter(F.col("_ck") > 1)
+    )
     return (
-        hashed.join(canon, hash_col)
-        .filter(F.col(id_col) == F.col("_cid"))
-        .drop("_cid")
+        hashed.join(canon, hash_col, "left")
+        .filter(F.col("_cid").isNull() | (F.col(id_col) == F.col("_cid")))
+        .drop("_cid", "_ck")
     )
 
 
@@ -724,9 +733,14 @@ def image_duplicate_scores(df: DataFrame, hash_type: str = "phash") -> DataFrame
     from cleanvision_spark.cache import tracked_persist
 
     hashed = tracked_persist(image_hashes(df, hash_type))
-    groups = hashed.filter(F.col("img_hash").isNotNull()).groupBy("img_hash").agg(
-        F.count(F.lit(1)).alias("dup_count"),
-        F.min("media_id").alias("_canon"),
+    groups = (
+        hashed.filter(F.col("img_hash").isNotNull())
+        .groupBy("img_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("media_id").alias("_canon"),
+        )
+        .filter(F.col("dup_count") > 1)  # dup-only join side: broadcast-small
     )
     return hashed.join(groups, "img_hash", "left").select(
         "media_id",

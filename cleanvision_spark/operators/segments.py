@@ -68,21 +68,31 @@ def segment_dedup(
         "_empty", F.length(norm) == 0
     )
 
+    # only hashes with >= 2 occurrences join back: a once-seen segment is
+    # trivially its own first occurrence (and _ndocs=1), so unique
+    # segments default via coalesce. The join side is then just the
+    # repeated-segment table — broadcast-small even when one boilerplate
+    # hash is mega-hot (duplicates._dup_join_side has the AQE-skew
+    # rationale; the hot key never forms a reduce partition here).
     grp = (
         occ.filter(~F.col("_empty"))
         .groupBy("_h")
         .agg(
             F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"),
             F.count_distinct(F.col(id_col)).alias("_ndocs"),
+            F.count(F.lit(1)).alias("_occ"),
         )
+        .filter(F.col("_occ") > 1)
     )
     joined = occ.join(grp, "_h", "left")
     if mode == "keep_first":
-        kept = F.col("_empty") | (
+        kept = F.col("_empty") | F.col("_first").isNull() | (
             F.struct(F.col(id_col), F.col("_pos")) == F.col("_first")
         )
     else:
-        kept = F.col("_empty") | (F.col("_ndocs") < F.lit(min_docs))
+        kept = F.col("_empty") | (
+            F.coalesce(F.col("_ndocs"), F.lit(1)) < F.lit(min_docs)
+        )
     joined = joined.withColumn("_kept", kept)
 
     return joined.groupBy(id_col).agg(

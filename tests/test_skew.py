@@ -1,0 +1,178 @@
+"""Mega-duplicate-key skew tests for the dedup join-back operators.
+
+docs/SCALE.md claims the exact-dup path survives a pathological key (one
+sha256 holding 20%+ of all rows — the empty file duplicated 10^8 times).
+These tests pin the two defenses in duplicates._dup_join_side:
+
+1. Default: only DUPLICATED keys (count > 1) join back, so the join side
+   is tiny and AQE converts the join to broadcast — the final adaptive
+   plan must contain BroadcastHashJoin, meaning the fact side is read
+   per map partition and the mega key never forms a reduce partition.
+2. ``skew_barrier=True`` (the non-broadcastable regime, forced here via
+   autoBroadcastJoinThreshold=-1): the localCheckpoint lineage barrier
+   leaves plain ENSURE_REQUIREMENTS exchanges below the join, so AQE's
+   OptimizeSkewedJoin CAN split the mega partition — the final plan must
+   show ``SortMergeJoin ... skew=true`` with an ``AQEShuffleRead skewed``
+   node (the split itself, stronger and deterministic vs comparing noisy
+   task wall-times).
+
+Both paths must stay value-exact vs an independently computed truth.
+
+The corpus carries an incompressible unique per-row payload: identical
+mega-texts LZ4 away to ~nothing in the shuffle files, so without it the
+skewed partition never crosses the byte threshold and the test would
+silently assert on an unsplit plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+N_ROWS = 6000
+HOT_N = 1500  # one sha256 holds 25% of all rows
+
+
+def _skewed_rows():
+    rows = []
+    for i in range(N_ROWS):
+        # ~6 KB of sha256 digests: unique per row, incompressible
+        payload = b"".join(
+            hashlib.sha256(f"{i}/{j}".encode()).digest() for j in range(96)
+        ).hex()
+        content = "MEGA DUPLICATE DOC" if i < HOT_N else f"unique doc {i}"
+        rows.append(
+            Row(repo="r", path=f"p{i}", commit="c", content=content, payload=payload)
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    df = spark.createDataFrame(_skewed_rows()).repartition(8)
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _final_plan(df) -> str:
+    """Executed (AQE-finalized) plan of a DataFrame that has been
+    materialized via its OWN action — a derived .agg() builds a separate
+    QueryExecution and leaves this one at isFinalPlan=false."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    return plan
+
+
+def _check_values(rows):
+    assert len(rows) == N_ROWS
+    for r in rows:
+        if r["content"] == "MEGA DUPLICATE DOC":
+            assert r["exact_duplicates_score"] == pytest.approx(1.0 / HOT_N)
+            assert r["is_exact_duplicates_issue"]
+        else:
+            assert r["exact_duplicates_score"] == 1.0
+            assert not r["is_exact_duplicates_issue"]
+
+
+def test_mega_key_default_broadcasts(spark, skewed_df):
+    """Dup-only join side -> AQE broadcast conversion: no reduce-side
+    fact partition exists for the mega key at all."""
+    from cleanvision_spark.operators.duplicates import exact_duplicate_scores
+
+    out = exact_duplicate_scores(skewed_df)
+    rows = out.collect()
+    _check_values(rows)
+    plan = _final_plan(out)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mega_key_barrier_splits_skew(spark, skewed_df):
+    """skew_barrier=True with broadcast disabled: AQE must SPLIT the
+    mega key's fact partition (skew=true + AQEShuffleRead skewed)."""
+    from cleanvision_spark.operators.duplicates import exact_duplicate_scores
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        out = exact_duplicate_scores(skewed_df, skew_barrier=True)
+        rows = out.collect()
+        _check_values(rows)
+        plan = _final_plan(out)
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_mega_key_full_and_normalized_values(spark, skewed_df):
+    """The other restructured join-backs (exact_duplicates_full,
+    dedup_normalized, keep_one_per_hash, segment keep-first) stay
+    value-exact on the skewed corpus — unique keys default through
+    coalesce after the count>1 join-side filter."""
+    from cleanvision_spark.operators.dedup import dedup_normalized
+    from cleanvision_spark.operators.duplicates import exact_duplicates_full
+    from cleanvision_spark.operators.imageqc import keep_one_per_hash
+
+    full = exact_duplicates_full(skewed_df).collect()
+    _check_values(full)
+    canon_path = min(f"p{i}" for i in range(HOT_N))
+    n_canon = sum(1 for r in full if r["_is_canonical_exact_duplicates"])
+    assert n_canon == (N_ROWS - HOT_N) + 1
+    for r in full:
+        if r["content"] == "MEGA DUPLICATE DOC":
+            assert r["_is_canonical_exact_duplicates"] == (r["path"] == canon_path)
+
+    docs = skewed_df.select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    nd = dedup_normalized(docs, "doc_id", "text").collect()
+    assert len(nd) == N_ROWS
+    hot = [r for r in nd if r["dup_count"] > 1]
+    assert len(hot) == HOT_N and all(r["dup_count"] == HOT_N for r in hot)
+    assert sum(1 for r in hot if r["is_canonical"]) == 1
+    cold = [r for r in nd if r["dup_count"] == 1]
+    assert all(r["is_canonical"] and not r["is_duplicate"] for r in cold)
+
+    hashed = skewed_df.select(
+        F.col("path").alias("media_id"), F.sha2("content", 256).alias("img_hash")
+    )
+    kept = keep_one_per_hash(hashed, hash_col="img_hash", id_col="media_id").collect()
+    assert len(kept) == (N_ROWS - HOT_N) + 1
+    assert canon_path in {r["media_id"] for r in kept}
+
+
+def test_mega_segment_keep_first(spark):
+    """segment_dedup keep_first with one boilerplate line in every doc:
+    repeated-hash-only join side + coalesce default for unique lines."""
+    from cleanvision_spark.operators.segments import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"SAME HEADER\nunique body {i}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = segment_dedup(docs, id_col="doc_id", mode="keep_first").collect()
+    assert len(out) == 400
+    with_header = [r for r in out if "SAME HEADER" in r["text_dedup"]]
+    assert len(with_header) == 1 and with_header[0]["doc_id"] == 0
+    assert all(f"unique body {r['doc_id']}" in r["text_dedup"] for r in out)
