@@ -117,7 +117,14 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
             except UnsupportedMediaVariant:
                 return "unsupported", None
         if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-            return "webp", None  # out-of-scope bitstream, tagged
+            from cleanvision_spark.operators.vp8l import decode_webp
+
+            try:
+                return "webp", decode_webp(b)  # lossless VP8L: real pixels
+            except (LookupError, ValueError):
+                # lossy VP8 (no VP8L chunk) or damaged VP8L bitstream:
+                # recognized container, pixels unavailable
+                return "webp", None
         if b[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or b[:4] == b"\xff\x4f\xff\x51":
             return "jp2", None
         return "unsupported", None

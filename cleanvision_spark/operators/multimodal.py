@@ -7,7 +7,10 @@ Decode coverage is format-tiered:
   16-bit, non-interlaced and Adam7-interlaced, color types 0/2/3/4/6),
   baseline JPEG (SOF0 Huffman:
   canonical-code entropy decode, dequantize, integer 8x8 IDCT, chroma
-  upsample, YCbCr->RGB — grayscale/4:4:4/subsampled, restart markers)
+  upsample, YCbCr->RGB — grayscale/4:4:4/subsampled, restart markers),
+  lossless WebP (VP8L bitstream — operators/vp8l.py: canonical prefix
+  codes, color cache, LZ77 with the 2D distance map, all four
+  transforms; lossy VP8 stays header-dims-only)
   and PCM WAV audio (stdlib ``wave``). ``decode_media`` emits
   width/height/channels, pixel mean/std, an 8x8 grayscale thumbnail,
   sample rate / duration / RMS — all computed distributed inside
@@ -1339,13 +1342,38 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
                 )
         elif fmt == "empty":
             rec.update(format="empty")
-        elif fmt in ("webp", "jp2"):
+        elif fmt == "webp":
+            from cleanvision_spark.operators.vp8l import decode_webp
+
+            try:
+                img = decode_webp(b)  # lossless (VP8L): real pixels
+            except (LookupError, ValueError):
+                # lossy VP8 / animation (no VP8L chunk) or a damaged
+                # VP8L bitstream: the CONTAINER is still recognized, so
+                # keep the informative tag AND the header dimensions
+                # rather than a bare 'corrupt'; null pixel stats mark
+                # the row undecoded
+                dims = webp_dimensions(b)
+                rec.update(format="webp")
+                if dims is not None:
+                    rec.update(width=dims[0], height=dims[1])
+            else:
+                rec.update(
+                    format="webp",
+                    width=img.shape[1],
+                    height=img.shape[0],
+                    channels=img.shape[2],
+                    pixel_mean=round(float(img.mean()), 6),
+                    pixel_std=round(float(img.std()), 6),
+                    thumb=[float(x) for x in thumbnail_gray(img, thumb_size).ravel()],
+                )
+        elif fmt == "jp2":
             # recognized container, out-of-scope bitstream: keep the
             # informative tag AND the header dimensions (a corpus
             # report needs width/height even where pixels stay
             # undecoded); null pixel stats mark it undecoded
-            dims = webp_dimensions(b) if fmt == "webp" else jp2_dimensions(b)
-            rec.update(format=fmt)
+            dims = jp2_dimensions(b)
+            rec.update(format="jp2")
             if dims is not None:
                 rec.update(width=dims[0], height=dims[1])
         else:

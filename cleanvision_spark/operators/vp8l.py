@@ -1,0 +1,574 @@
+"""Pure stdlib+numpy VP8L (lossless WebP) bitstream decoder.
+
+Implements the public WebP lossless bitstream specification (RFC 9649
+§3-5): LSB-first bit reading, canonical prefix codes (simple and
+code-length-coded forms), the green/red/blue/alpha/distance code groups,
+optional meta-prefix (huffman image) indirection, color cache, LZ77
+backward references with the 120-entry 2D distance map, and the four
+transforms (predictor with all 14 modes, color, subtract-green,
+color-indexing with sub-byte bundling) applied inverse in reverse read
+order.
+
+Reference parity: cleanvision accepts .webp via PIL
+(/root/reference/src/cleanvision/utils/constants.py:22-38); this gives
+the engine real pixel decode for the lossless half of that format with
+no native dependency (lossy VP8 stays tagged 'unsupported').
+
+The 2D distance map is GENERATED from the spec's ordering rule (sort
+the (dx in [-7,8], dy in [0,7], dy>0 or dx>0) neighborhood by squared
+distance, ties: larger dy first, then smaller abs(dx), positive dx before
+negative) — tests/test_vp8l.py pins it against an independently typed
+literal copy of the spec table, so a transcription slip in either
+derivation fails the suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["decode_vp8l", "decode_webp", "DISTANCE_MAP"]
+
+
+def _build_distance_map() -> list[tuple[int, int]]:
+    pts = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ]
+    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], abs(p[0]), p[0] < 0))
+    assert len(pts) == 120
+    return pts
+
+
+#: codes 1..120 -> (dx, dy) pixel offset; code > 120 -> linear dist - 120
+DISTANCE_MAP: list[tuple[int, int]] = _build_distance_map()
+
+_CODE_LENGTH_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class _BitReader:
+    """LSB-first bit reader over a bytes object (spec §2)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        v = 0
+        d = self.data
+        for i in range(n):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+    def read_bit(self) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("truncated VP8L stream")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+
+class _PrefixCode:
+    """Canonical prefix code decoder: codes are transmitted MSB-first
+    (DEFLATE/zlib convention, which VP8L's table builder follows)."""
+
+    __slots__ = ("table", "single", "maxlen")
+
+    def __init__(self, lengths: list[int]):
+        self.single = None
+        used = [(s, ln) for s, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("empty prefix code")
+        if len(used) == 1:
+            self.single = used[0][0]
+            self.table = {}
+            self.maxlen = 0
+            return
+        # canonical assignment: increasing code per (length, symbol)
+        maxlen = max(ln for _, ln in used)
+        if maxlen > 15:
+            raise ValueError("prefix code length > 15")
+        bl_count = [0] * (maxlen + 1)
+        for _, ln in used:
+            bl_count[ln] += 1
+        next_code = [0] * (maxlen + 2)
+        code = 0
+        for ln in range(1, maxlen + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        kraft = sum(bl_count[ln] << (maxlen - ln) for ln in range(1, maxlen + 1))
+        if kraft != (1 << maxlen):
+            raise ValueError("incomplete/overfull prefix code")
+        table: dict[tuple[int, int], int] = {}
+        for s, ln in used:  # enumerate() kept symbols ascending
+            table[(ln, next_code[ln])] = s
+            next_code[ln] += 1
+        self.table = table
+        self.maxlen = maxlen
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        ln = 0
+        t = self.table
+        while True:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            s = t.get((ln, code))
+            if s is not None:
+                return s
+            if ln > self.maxlen:
+                raise ValueError("bad prefix code bits")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        if br.read_bit():  # first symbol is 8 bits
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read_bit()
+        lengths = [0] * alphabet_size
+        if sym0 >= alphabet_size:
+            raise ValueError("simple code symbol out of range")
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            if sym1 >= alphabet_size:
+                raise ValueError("simple code symbol out of range")
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+        else:
+            lengths[sym0] = 1
+            code = _PrefixCode(lengths)
+            code.single = sym0  # one symbol: zero bits consumed per read
+            return code
+        return _PrefixCode(lengths)
+    num_cl = br.read(4) + 4
+    if num_cl > len(_CODE_LENGTH_ORDER):
+        raise ValueError("bad num_code_lengths")
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    # optional cap on the number of coded length symbols
+    if br.read_bit():
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl != 0:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat = br.read(2) + 3
+                fill = prev_len
+            elif cl == 17:
+                repeat = br.read(3) + 3
+                fill = 0
+            else:  # 18
+                repeat = br.read(7) + 11
+                fill = 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("code length repeat overflow")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _PrefixCode(lengths)
+
+
+def _prefix_decode_extra(br: _BitReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra_bits = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+_GROUP_ALPHABETS = (0, 256, 256, 256, 40)  # [0] filled per cache size
+
+
+def _read_code_groups(br: _BitReader, n_groups: int, cache_bits: int):
+    groups = []
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    sizes = (green_size,) + _GROUP_ALPHABETS[1:]
+    for _ in range(n_groups):
+        groups.append(tuple(_read_prefix_code(br, s) for s in sizes))
+    return groups
+
+
+def _decode_pixels(
+    br: _BitReader,
+    w: int,
+    h: int,
+    groups,
+    cache_bits: int,
+    meta: tuple[np.ndarray, int, int] | None,
+) -> np.ndarray:
+    """Spatial decode -> flat uint32 ARGB array of length w*h."""
+    npix = w * h
+    out = np.zeros(npix, dtype=np.uint32)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    if meta is not None:
+        meta_img, meta_bits, meta_w = meta
+    pos = 0
+    x = 0
+    y = 0
+    g_code, r_code, b_code, a_code, d_code = groups[0]
+    cur_group = 0
+    while pos < npix:
+        if meta is not None:
+            gi = int(meta_img[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            gi = (gi >> 8) & 0xFFFF  # (red << 8) | green
+            if gi != cur_group:
+                if gi >= len(groups):
+                    raise ValueError("meta prefix index out of range")
+                g_code, r_code, b_code, a_code, d_code = groups[gi]
+                cur_group = gi
+        s = g_code.read(br)
+        if s < 256:
+            red = r_code.read(br)
+            blue = b_code.read(br)
+            alpha = a_code.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+        elif s < 280:
+            length = _prefix_decode_extra(br, s - 256)
+            dist_code = _prefix_decode_extra(br, d_code.read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = DISTANCE_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > npix:
+                raise ValueError("invalid backward reference")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache is not None:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
+                pos += 1
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
+        else:
+            if cache is None:
+                raise ValueError("color cache symbol without color cache")
+            idx = s - 280
+            if idx >= len(cache):
+                raise ValueError("color cache index out of range")
+            px = cache[idx]
+            out[pos] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+    return out
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool):
+    """Returns (argb flat array, transforms list, final data width)."""
+    transforms = []
+    seen = set()
+    if level0:
+        while br.read_bit():
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 0 or ttype == 1:  # predictor / color
+                size_bits = br.read(3) + 2
+                bw = _sub_size(w, size_bits)
+                bh = _sub_size(h, size_bits)
+                sub, _, _ = _decode_image_stream(br, bw, bh, False)
+                transforms.append((ttype, size_bits, sub, w, h))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, None, None, w, h))
+            else:  # color indexing
+                n = br.read(8) + 1
+                pal_img, _, _ = _decode_image_stream(br, n, 1, False)
+                # palette entries are delta-coded per channel byte
+                pal = np.zeros(n, dtype=np.uint32)
+                prev = np.zeros(4, dtype=np.uint32)
+                for i in range(n):
+                    v = int(pal_img[i])
+                    ch = np.array(
+                        [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF],
+                        dtype=np.uint32,
+                    )
+                    prev = (prev + ch) & 0xFF
+                    pal[i] = (
+                        int(prev[0])
+                        | (int(prev[1]) << 8)
+                        | (int(prev[2]) << 16)
+                        | (int(prev[3]) << 24)
+                    )
+                if n <= 2:
+                    wbits = 3
+                elif n <= 4:
+                    wbits = 2
+                elif n <= 16:
+                    wbits = 1
+                else:
+                    wbits = 0
+                transforms.append((3, wbits, pal, w, h))
+                if wbits:
+                    w = _sub_size(w, wbits)
+    # color cache
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color cache size")
+    # meta prefix image (level 0 only)
+    meta = None
+    n_groups = 1
+    if level0 and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = _sub_size(w, meta_bits)
+        mh = _sub_size(h, meta_bits)
+        meta_img, _, _ = _decode_image_stream(br, mw, mh, False)
+        n_groups = int(max((int(v) >> 8) & 0xFFFF for v in meta_img)) + 1
+        meta = (meta_img, meta_bits, mw)
+    groups = _read_code_groups(br, n_groups, cache_bits)
+    argb = _decode_pixels(br, w, h, groups, cache_bits, meta)
+    return argb, transforms, w
+
+
+def _sub_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ---------------------------------------------------------------- transforms
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int32) + b.astype(np.int32)) >> 1
+
+
+def _clamp255(v: np.ndarray | int):
+    return np.clip(v, 0, 255)
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One pixel's 4-channel prediction; channel vectors are int32."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int32)  # A,R,G,B = opaque black
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select
+        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
+        pL = int(np.abs(p - L).sum())
+        pT = int(np.abs(p - T).sum())
+        return L if pL < pT else T
+    if mode == 12:  # ClampAddSubtractFull
+        return _clamp255(L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32))
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        d = ave - TL.astype(np.int32)
+        # C truncation toward zero, not Python floor
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+        return _clamp255(ave + half)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _px_channels(img: np.ndarray, y: int, x: int) -> np.ndarray:
+    v = int(img[y, x])
+    return np.array(
+        [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
+        dtype=np.int32,
+    )
+
+
+def _inverse_predictor(argb: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray):
+    img = argb.reshape(h, w)
+    bw = _sub_size(w, size_bits)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = _px_channels(img, 0, x - 1)  # L
+            elif x == 0:
+                pred = _px_channels(img, y - 1, 0)  # T
+            else:
+                mode = (int(sub[(y >> size_bits) * bw + (x >> size_bits)]) >> 8) & 0xFF
+                L = _px_channels(img, y, x - 1)
+                T = _px_channels(img, y - 1, x)
+                TL = _px_channels(img, y - 1, x - 1)
+                # rightmost column: TR wraps to first pixel of current row
+                TR = (
+                    _px_channels(img, y - 1, x + 1)
+                    if x + 1 < w
+                    else _px_channels(img, y, 0)
+                )
+                pred = _predict(mode, L, T, TL, TR)
+            cur = _px_channels(img, y, x)
+            rec = (cur + pred) & 0xFF
+            img[y, x] = (
+                (int(rec[0]) << 24)
+                | (int(rec[1]) << 16)
+                | (int(rec[2]) << 8)
+                | int(rec[3])
+            )
+    return img.reshape(-1)
+
+
+def _inverse_color_transform(argb: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray):
+    img = argb.reshape(h, w)
+    bw = _sub_size(w, size_bits)
+    sub_img = sub.reshape(-1)
+    a = (img >> 24) & 0xFF
+    r = ((img >> 16) & 0xFF).astype(np.int64)
+    g = ((img >> 8) & 0xFF).astype(np.int64)
+    b = (img & 0xFF).astype(np.int64)
+    ys, xs = np.mgrid[0:h, 0:w]
+    cte = sub_img[(ys >> size_bits) * bw + (xs >> size_bits)]
+    g2r = (cte & 0xFF).astype(np.int64)
+    g2b = ((cte >> 8) & 0xFF).astype(np.int64)
+    r2b = ((cte >> 16) & 0xFF).astype(np.int64)
+
+    def delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+        ts = np.where(t >= 128, t - 256, t)
+        cs = np.where(c >= 128, c - 256, c)
+        return (ts * cs) >> 5
+
+    r2 = (r + delta(g2r, g)) & 0xFF
+    b2 = (b + delta(g2b, g) + delta(r2b, r2)) & 0xFF
+    out = (a.astype(np.uint32) << 24) | (r2.astype(np.uint32) << 16) | (
+        g.astype(np.uint32) << 8
+    ) | b2.astype(np.uint32)
+    return out.reshape(-1)
+
+
+def _inverse_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) + g) & 0xFF
+    b = ((argb & 0xFF) + g) & 0xFF
+    return (argb & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _inverse_color_indexing(
+    argb: np.ndarray, full_w: int, h: int, wbits: int, pal: np.ndarray
+) -> np.ndarray:
+    if wbits:
+        packed_w = _sub_size(full_w, wbits)
+        bits = 8 >> wbits
+        mask = (1 << bits) - 1
+        img = argb.reshape(h, packed_w)
+        green = (img >> 8) & 0xFF
+        xs = np.arange(full_w)
+        idx = (green[:, xs >> wbits] >> ((xs & ((1 << wbits) - 1)) * bits)) & mask
+    else:
+        idx = (argb.reshape(h, full_w) >> 8) & 0xFF
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    return pal[idx.astype(np.int64)].reshape(-1)
+
+
+def decode_vp8l(data: bytes) -> np.ndarray:
+    """Decode a raw VP8L chunk payload to an (h, w, 4) uint8 RGBA array."""
+    br = _BitReader(data)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    argb, transforms, _ = _decode_image_stream(br, w, h, True)
+    # inverse transforms in reverse read order; each transform stored the
+    # data width in effect when it was read (color indexing reduces the
+    # width for everything downstream of it), so predictor/color inverses
+    # run at that stored width and color-indexing inverse restores it
+    for ttype, p1, p2, tw, th in reversed(transforms):
+        if ttype == 0:
+            argb = _inverse_predictor(argb, tw, th, p1, p2)
+        elif ttype == 1:
+            argb = _inverse_color_transform(argb, tw, th, p1, p2)
+        elif ttype == 2:
+            argb = _inverse_subtract_green(argb)
+        else:
+            argb = _inverse_color_indexing(argb, tw, th, p1, p2)
+    if argb.size != w * h:
+        raise ValueError("decoded size mismatch")
+    img = argb.reshape(h, w)
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[..., 0] = (img >> 16) & 0xFF  # R
+    out[..., 1] = (img >> 8) & 0xFF  # G
+    out[..., 2] = img & 0xFF  # B
+    out[..., 3] = (img >> 24) & 0xFF  # A
+    return out
+
+
+def decode_webp(b: bytes) -> np.ndarray:
+    """RIFF container walk -> decode the VP8L chunk (lossless WebP).
+
+    A container with no VP8L chunk (lossy VP8, animation) raises
+    LookupError — callers keep those as header-dims-only rows;
+    structural damage in a present VP8L bitstream raises ValueError
+    (tagged 'corrupt' by decode_media)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP RIFF container")
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        payload = b[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            if len(payload) < size:
+                raise ValueError("truncated VP8L chunk")
+            return decode_vp8l(payload)
+        pos += 8 + size + (size & 1)
+    raise LookupError("no VP8L chunk")  # lossy VP8 etc.: dims-only upstream

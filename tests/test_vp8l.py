@@ -1,0 +1,189 @@
+"""VP8L (lossless WebP) decoder tests.
+
+The decoder (cleanvision_spark/operators/vp8l.py) is exercised against
+tests/vp8l_encoder.py — an INDEPENDENT forward encoder implemented from
+the public spec with its own bit writer, Huffman builder, transform
+forward passes, and its own literal copy of the 120-entry 2D distance
+table (the decoder GENERATES the table from the spec's ordering rule;
+test_distance_map_matches_spec_table pins the two derivations against
+each other, so a transcription slip in either fails here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cleanvision_spark.operators.vp8l import (
+    DISTANCE_MAP,
+    decode_vp8l,
+    decode_webp,
+)
+
+from tests.vp8l_encoder import DIST_TABLE, encode_vp8l, wrap_webp
+
+
+def _rt(rgba: np.ndarray, **kw) -> None:
+    out = decode_vp8l(encode_vp8l(rgba, **kw))
+    assert out.shape == rgba.shape
+    assert (out == rgba).all()
+
+
+def _rand(h, w, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 4), dtype=np.uint8)
+
+
+def test_distance_map_matches_spec_table():
+    assert len(DISTANCE_MAP) == len(DIST_TABLE) == 120
+    assert DISTANCE_MAP == DIST_TABLE
+
+
+def test_roundtrip_literals():
+    _rt(_rand(13, 17))
+
+
+def test_roundtrip_color_cache():
+    _rt(_rand(13, 17), cache_bits=4)
+    _rt(_rand(9, 9, seed=3), cache_bits=1)
+    _rt(_rand(9, 9, seed=4), cache_bits=8)
+
+
+def test_roundtrip_lz77_backrefs():
+    tile = _rand(4, 4, seed=11)
+    big = np.tile(tile, (5, 6, 1))
+    _rt(big, lz77=True)
+    _rt(big, lz77=True, cache_bits=6)
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_roundtrip_predictor_modes(mode):
+    _rt(_rand(13, 17, seed=20 + mode), transforms=(("predictor", 2, mode),))
+
+
+def test_roundtrip_subtract_green_and_color():
+    img = _rand(11, 15, seed=40)
+    _rt(img, transforms=("subtract_green",))
+    _rt(img, transforms=(("color", 2, (3, 0xFB, 17)),))
+    _rt(img, transforms=("subtract_green", ("color", 3, (0x85, 7, 0x90))))
+
+
+@pytest.mark.parametrize("n", [2, 4, 13, 60])
+def test_roundtrip_palette_bundles(n):
+    rng = np.random.default_rng(50 + n)
+    pal = rng.integers(0, 256, (n, 4), dtype=np.uint8)
+    img = pal[rng.integers(0, n, (9, 11))]
+    _rt(img, transforms=("palette",))
+
+
+def test_roundtrip_combined_transforms():
+    tile = _rand(4, 4, seed=60)
+    big = np.tile(tile, (4, 7, 1))
+    _rt(
+        big,
+        transforms=("subtract_green", ("predictor", 3, 7)),
+        cache_bits=5,
+        lz77=True,
+    )
+
+
+def test_roundtrip_meta_prefix_groups():
+    _rt(_rand(14, 18, seed=70), meta_bits=2, group_of=lambda bx, by: (bx + by) % 2)
+
+
+def test_roundtrip_degenerate_images():
+    flat = np.full((6, 6, 4), 128, dtype=np.uint8)
+    _rt(flat)  # single-symbol (simple) codes
+    _rt(flat, cache_bits=2)
+    _rt(flat, lz77=True)
+    _rt(_rand(1, 1, seed=80))
+    _rt(_rand(1, 40, seed=81), lz77=True)
+    _rt(_rand(40, 1, seed=82), lz77=True)
+
+
+def test_container_walk_and_vp8x():
+    img = _rand(13, 17, seed=90)
+    payload = encode_vp8l(img)
+    assert (decode_webp(wrap_webp(payload)) == img).all()
+    assert (decode_webp(wrap_webp(payload, with_vp8x=True, w=17, h=13)) == img).all()
+
+
+def test_lossy_container_raises_lookup():
+    # a VP8 (lossy) chunk only: recognized container, no VP8L bitstream
+    body = b"\x00" * 20
+    riff = b"WEBP" + b"VP8 " + len(body).to_bytes(4, "little") + body
+    lossy = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    with pytest.raises(LookupError):
+        decode_webp(lossy)
+
+
+def test_corrupt_streams_raise_valueerror():
+    img = _rand(8, 8, seed=91)
+    payload = encode_vp8l(img)
+    with pytest.raises(ValueError):
+        decode_vp8l(payload[: len(payload) // 2])  # truncated
+    with pytest.raises(ValueError):
+        decode_vp8l(b"\x00" + payload[1:])  # bad signature
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_poison_fuzz_never_other_exceptions():
+    rng = np.random.default_rng(99)
+    for i in range(300):
+        blob = bytes([0x2F]) + rng.bytes(int(rng.integers(0, 64)))
+        try:
+            decode_vp8l(blob)
+        except (ValueError, LookupError):
+            pass  # the only contract: tagged, never a stage-killer
+
+
+def test_decode_media_counts_vp8l_as_decoded(spark):
+    from cleanvision_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    img = _rand(10, 12, seed=100)
+    lossless = wrap_webp(encode_vp8l(img, transforms=("subtract_green",)))
+    body = b"\x00" * 20
+    riff = b"WEBP" + b"VP8 " + len(body).to_bytes(4, "little") + body
+    lossy = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    rows = [(1, "image", lossless, {}), (2, "image", lossy, {})]
+    out = {
+        r["media_id"]: r
+        for r in decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    r1 = out[1]
+    assert (r1["format"], r1["width"], r1["height"], r1["channels"]) == (
+        "webp",
+        12,
+        10,
+        4,
+    )
+    assert abs(r1["pixel_mean"] - round(float(img.mean()), 6)) < 1e-9
+    assert abs(r1["pixel_std"] - round(float(img.std()), 6)) < 1e-9
+    assert r1["thumb"] is not None
+    # lossy stays header-dims-only: tagged, null pixel stats
+    assert out[2]["format"] == "webp"
+    assert out[2]["pixel_mean"] is None
+
+
+def test_webp_phash_dedups_against_png(spark):
+    """The same pixels as a PNG and as a lossless WebP hash identically,
+    so cross-format duplicates collapse in keep-one dedup."""
+    from cleanvision_spark.operators.imageqc import image_hashes, keep_one_per_hash
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rgba = np.dstack([img, np.full(img.shape[:2], 255, dtype=np.uint8)])
+    webp_payload = wrap_webp(encode_vp8l(rgba))
+    ppm = b"P6\n16 16\n255\n" + img.tobytes()
+    other = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    ppm_other = b"P6\n16 16\n255\n" + other.tobytes()
+    df = spark.createDataFrame(
+        [(1, webp_payload), (2, ppm), (3, ppm_other)],
+        "media_id long, payload binary",
+    )
+    hashed = image_hashes(df, "phash").filter(F.col("img_hash").isNotNull())
+    rows = {r["media_id"]: r["img_hash"] for r in hashed.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    kept = {r["media_id"] for r in keep_one_per_hash(hashed).collect()}
+    assert kept == {1, 3}

@@ -1,0 +1,629 @@
+"""Independent VP8L (lossless WebP) FORWARD encoder for roundtrip tests.
+
+Implemented from the public WebP lossless bitstream spec (RFC 9649)
+without looking at the package decoder: LSB-first bit writing, canonical
+prefix codes (simple 1/2-symbol and full code-length-coded forms with
+17/18 zero-run tokens), optional color cache, greedy LZ77 over the 2D
+distance-map candidate set, the four forward transforms, and optional
+meta-prefix (huffman image) group splitting. Its own literal copy of the
+120-entry distance table lives here (typed from the spec, NOT imported
+from the package) so a transcription error on either side breaks the
+roundtrip/cross-check tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+# Literal spec table (RFC 9649 §4.2.2.3), typed independently of the
+# package's generated DISTANCE_MAP.
+DIST_TABLE = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int):
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def write_code(self, code: int, n: int):
+        """Prefix-code bits go out MSB-first."""
+        for i in range(n - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+def _huffman_lengths(freqs: dict[int, int], maxlen: int) -> dict[int, int]:
+    """Code lengths from frequencies; flat fallback if too deep."""
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    i = len(heap)
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, i, g1 + g2))
+        i += 1
+    if max(depth.values()) <= maxlen:
+        return depth
+    # flat complete code: k symbols at L-1, rest at L
+    n = len(syms)
+    L = max(1, (n - 1).bit_length())
+    k = (1 << L) - n
+    by_freq = [s for s, _ in sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))]
+    return {s: (L - 1 if j < k else L) for j, s in enumerate(by_freq)}
+
+
+def _canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    maxlen = max(lengths.values())
+    bl = [0] * (maxlen + 1)
+    for ln in lengths.values():
+        bl[ln] += 1
+    nxt = [0] * (maxlen + 2)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl[ln - 1]) << 1
+        nxt[ln] = code
+    out = {}
+    for s in sorted(lengths):
+        ln = lengths[s]
+        out[s] = (nxt[ln], ln)
+        nxt[ln] += 1
+    return out
+
+
+def write_prefix_code(bw: BitWriter, lengths: dict[int, int], alphabet: int):
+    """Emit one prefix code description."""
+    used = sorted(lengths)
+    if 1 <= len(used) <= 2 and all(s <= 255 for s in used):
+        bw.write(1, 1)  # simple
+        bw.write(len(used) - 1, 1)
+        if used[0] <= 1:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        return
+    # full form: tokenize the alphabet-length sequence
+    seq = [lengths.get(s, 0) for s in range(alphabet)]
+    tokens: list[tuple[int, int, int]] = []  # (cl_symbol, extra_val, extra_bits)
+    i = 0
+    while i < alphabet:
+        if seq[i] == 0:
+            j = i
+            while j < alphabet and seq[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                r = min(run, 138)
+                tokens.append((18, r - 11, 7))
+                run -= r
+            while run >= 3:
+                r = min(run, 10)
+                tokens.append((17, r - 3, 3))
+                run -= r
+            for _ in range(run):
+                tokens.append((0, 0, 0))
+            i = j
+        else:
+            tokens.append((seq[i], 0, 0))
+            i += 1
+    clf: dict[int, int] = {}
+    for t, _, _ in tokens:
+        clf[t] = clf.get(t, 0) + 1
+    cl_lengths = _huffman_lengths(clf, 7)
+    if len(cl_lengths) == 1:
+        # a lone cl symbol still needs a decodable (complete) 1-bit code:
+        # pad with an unused symbol
+        pad = 0 if 0 not in cl_lengths else 1
+        cl_lengths = {**cl_lengths, pad: 1}
+        cl_lengths = {k: 1 for k in cl_lengths}
+    cl_codes = _canonical(cl_lengths)
+    num_cl = max(4, 1 + max(CL_ORDER.index(s) for s in cl_lengths))
+    bw.write(0, 1)  # not simple
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths.get(CL_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max_symbol cap
+    for t, ev, eb in tokens:
+        c, ln = cl_codes[t]
+        bw.write_code(c, ln)
+        if eb:
+            bw.write(ev, eb)
+
+
+def _prefix_split(v: int) -> tuple[int, int, int]:
+    """LZ77 value -> (prefix code, extra bits, extra value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        eb = (code - 2) >> 1
+        off = (2 + (code & 1)) << eb
+        if off + 1 <= v <= off + (1 << eb):
+            return code, eb, v - off - 1
+    raise ValueError(f"value {v} too large for prefix code")
+
+
+def _cache_slot(px: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _argb_from_rgba(rgba: np.ndarray) -> np.ndarray:
+    r = rgba[..., 0].astype(np.uint32)
+    g = rgba[..., 1].astype(np.uint32)
+    b = rgba[..., 2].astype(np.uint32)
+    a = rgba[..., 3].astype(np.uint32)
+    return ((a << 24) | (r << 16) | (g << 8) | b).reshape(-1)
+
+
+def _tokenize(
+    argb: np.ndarray, w: int, cache_bits: int, lz77: bool
+) -> list[tuple]:
+    """('lit', px) / ('cache', idx) / ('copy', length, dist_code, extra)."""
+    npx = len(argb)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    # candidate distances: the 2D map (positive linear dist only) + linear
+    cand: list[tuple[int, int]] = []  # (dist, dist_code)
+    if lz77:
+        seen = set()
+        for ci, (dx, dy) in enumerate(DIST_TABLE):
+            d = dy * w + dx
+            if d < 1:
+                d = 1
+            if d not in seen:
+                seen.add(d)
+                cand.append((d, ci + 1))
+        for d in (1, 2, 3, w, 2 * w):
+            if d not in seen:
+                seen.add(d)
+                cand.append((d, d + 120))
+    tokens: list[tuple] = []
+    pos = 0
+    while pos < npx:
+        best_len = 0
+        best_code = 0
+        if lz77:
+            for d, code in cand:
+                if d > pos:
+                    continue
+                ln = 0
+                while pos + ln < npx and ln < 4096 and argb[pos + ln - d] == argb[pos + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_code = ln, code
+        if best_len >= 3:
+            tokens.append(("copy", best_len, best_code))
+            if cache is not None:
+                for k in range(best_len):
+                    cache[_cache_slot(int(argb[pos + k]), cache_bits)] = int(
+                        argb[pos + k]
+                    )
+            pos += best_len
+            continue
+        px = int(argb[pos])
+        if cache is not None:
+            slot = _cache_slot(px, cache_bits)
+            if cache[slot] == px:
+                tokens.append(("cache", slot))
+                pos += 1
+                continue
+            cache[slot] = px
+        tokens.append(("lit", px))
+        pos += 1
+    return tokens
+
+
+def _emit_image(
+    bw: BitWriter,
+    argb: np.ndarray,
+    w: int,
+    h: int,
+    *,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    meta_bits: int = 0,
+    group_of: object = None,
+    level0: bool = True,
+):
+    """Write one image stream (spec DecodeImageStream mirror). The
+    caller writes the transform list (level 0) before this."""
+    # color cache
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+
+    n_groups = 1
+    meta_map = None
+    if level0:
+        if meta_bits and group_of is not None:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            mw = (w + (1 << meta_bits) - 1) >> meta_bits
+            mh = (h + (1 << meta_bits) - 1) >> meta_bits
+            meta_px = np.zeros(mw * mh, dtype=np.uint32)
+            gmax = 0
+            for by in range(mh):
+                for bx in range(mw):
+                    g = int(group_of(bx, by))
+                    gmax = max(gmax, g)
+                    meta_px[by * mw + bx] = np.uint32((0xFF << 24) | (g << 8))
+            n_groups = gmax + 1
+            _emit_image(bw, meta_px, mw, mh, level0=False)
+            meta_map = (meta_bits, mw)
+        else:
+            bw.write(0, 1)
+
+    # tokenize whole image once (cache state is global across groups)
+    tokens = _tokenize(argb, w, cache_bits, lz77)
+
+    # assign each token to the group of its starting pixel
+    def grp_at(pos):
+        if meta_map is None:
+            return 0
+        mb, mw = meta_map
+        x, y = pos % w, pos // w
+        return int(group_of(x >> mb, y >> mb))
+
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    freqs = [
+        [dict() for _ in range(5)] for _ in range(n_groups)
+    ]  # green,r,b,a,dist
+
+    pos = 0
+    tok_groups = []
+    for t in tokens:
+        gi = grp_at(pos)
+        tok_groups.append(gi)
+        fg = freqs[gi]
+        if t[0] == "lit":
+            px = t[1]
+            fg[0][(px >> 8) & 0xFF] = fg[0].get((px >> 8) & 0xFF, 0) + 1
+            fg[1][(px >> 16) & 0xFF] = fg[1].get((px >> 16) & 0xFF, 0) + 1
+            fg[2][px & 0xFF] = fg[2].get(px & 0xFF, 0) + 1
+            fg[3][(px >> 24) & 0xFF] = fg[3].get((px >> 24) & 0xFF, 0) + 1
+            pos += 1
+        elif t[0] == "cache":
+            s = 280 + t[1]
+            fg[0][s] = fg[0].get(s, 0) + 1
+            pos += 1
+        else:
+            _, length, dcode = t
+            lc, _, _ = _prefix_split(length)
+            fg[0][256 + lc] = fg[0].get(256 + lc, 0) + 1
+            dc, _, _ = _prefix_split(dcode)
+            fg[4][dc] = fg[4].get(dc, 0) + 1
+            pos += length
+
+    codes = []
+    for gi in range(n_groups):
+        gcodes = []
+        for ci, alphabet in enumerate((green_size, 256, 256, 256, 40)):
+            f = freqs[gi][ci]
+            if not f:
+                f = {0: 1}  # unused tree still needs a valid code
+            lengths = _huffman_lengths(f, 15)
+            write_prefix_code(bw, lengths, alphabet)
+            gcodes.append(_canonical(lengths) if len(lengths) > 1 else {
+                s: (0, 0) for s in lengths
+            })
+        codes.append(gcodes)
+
+    pos = 0
+    for t, gi in zip(tokens, tok_groups):
+        gcodes = codes[gi]
+
+        def emit(tree, sym):
+            c, ln = gcodes[tree][sym]
+            if ln:
+                bw.write_code(c, ln)
+
+        if t[0] == "lit":
+            px = t[1]
+            emit(0, (px >> 8) & 0xFF)
+            emit(1, (px >> 16) & 0xFF)
+            emit(2, px & 0xFF)
+            emit(3, (px >> 24) & 0xFF)
+            pos += 1
+        elif t[0] == "cache":
+            emit(0, 280 + t[1])
+            pos += 1
+        else:
+            _, length, dcode = t
+            lc, leb, lev = _prefix_split(length)
+            emit(0, 256 + lc)
+            if leb:
+                bw.write(lev, leb)
+            dc, deb, dev = _prefix_split(dcode)
+            emit(4, dc)
+            if deb:
+                bw.write(dev, deb)
+            pos += length
+
+
+# ------------------------------------------------------------- transforms
+
+
+def _delta(t: int, c: np.ndarray) -> np.ndarray:
+    ts = t - 256 if t >= 128 else t
+    cs = np.where(c >= 128, c - 256, c).astype(np.int64)
+    return (ts * cs) >> 5
+
+
+def forward_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = (((argb >> 16) & 0xFF) - g) & 0xFF
+    b = ((argb & 0xFF) - g) & 0xFF
+    return (argb & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def forward_color_transform(
+    argb: np.ndarray, w: int, h: int, g2r: int, g2b: int, r2b: int
+) -> np.ndarray:
+    img = argb.reshape(h, w)
+    a = (img >> 24) & 0xFF
+    r = ((img >> 16) & 0xFF).astype(np.int64)
+    g = ((img >> 8) & 0xFF).astype(np.int64)
+    b = (img & 0xFF).astype(np.int64)
+    r_enc = (r - _delta(g2r, g)) & 0xFF
+    b_enc = (b - _delta(g2b, g) - _delta(r2b, r)) & 0xFF
+    out = (
+        (a.astype(np.uint32) << 24)
+        | (r_enc.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b_enc.astype(np.uint32)
+    )
+    return out.reshape(-1)
+
+
+def _chan(v: int) -> np.ndarray:
+    return np.array(
+        [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
+        dtype=np.int32,
+    )
+
+
+def _pack(c) -> int:
+    return (int(c[0]) << 24) | (int(c[1]) << 16) | (int(c[2]) << 8) | int(c[3])
+
+
+def _predict_forward(mode: int, L, T, TL, TR) -> np.ndarray:
+    def avg2(a, b):
+        return (a + b) >> 1
+
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        p = L + T - TL
+        return L if int(np.abs(p - L).sum()) < int(np.abs(p - T).sum()) else T
+    if mode == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:
+        ave = avg2(L, T)
+        d = ave - TL
+        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
+        return np.clip(ave + half, 0, 255)
+    raise ValueError(mode)
+
+
+def forward_predictor(argb: np.ndarray, w: int, h: int, mode: int) -> np.ndarray:
+    """Residuals with a single mode everywhere (edges use spec rules)."""
+    img = argb.reshape(h, w)
+    out = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = _chan(int(img[0, x - 1]))
+            elif x == 0:
+                pred = _chan(int(img[y - 1, 0]))
+            else:
+                L = _chan(int(img[y, x - 1]))
+                T = _chan(int(img[y - 1, x]))
+                TL = _chan(int(img[y - 1, x - 1]))
+                TR = _chan(int(img[y - 1, x + 1])) if x + 1 < w else _chan(
+                    int(img[y, 0])
+                )
+                pred = _predict_forward(mode, L, T, TL, TR)
+            cur = _chan(int(img[y, x]))
+            out[y, x] = np.uint32(_pack((cur - pred) & 0xFF))
+    return out.reshape(-1)
+
+
+def forward_palette(argb: np.ndarray, w: int, h: int):
+    """Returns (packed index image, packed width, palette list, wbits)."""
+    uniq: dict[int, int] = {}
+    for v in argb.tolist():
+        if v not in uniq:
+            uniq[v] = len(uniq)
+    n = len(uniq)
+    if n > 256:
+        raise ValueError("too many colors for palette")
+    idx = np.array([uniq[v] for v in argb.tolist()], dtype=np.uint32).reshape(h, w)
+    if n <= 2:
+        wbits = 3
+    elif n <= 4:
+        wbits = 2
+    elif n <= 16:
+        wbits = 1
+    else:
+        wbits = 0
+    if wbits:
+        per = 1 << wbits
+        bits = 8 >> wbits
+        pw = (w + per - 1) // per
+        packed = np.zeros((h, pw), dtype=np.uint32)
+        for y in range(h):
+            for x in range(w):
+                packed[y, x // per] |= np.uint32(int(idx[y, x]) << ((x % per) * bits))
+        out = (np.uint32(0xFF) << np.uint32(24)) | (packed << np.uint32(8))
+    else:
+        pw = w
+        out = (np.uint32(0xFF) << np.uint32(24)) | (idx << np.uint32(8))
+    palette = [v for v in uniq]
+    return out.reshape(-1), pw, palette, wbits
+
+
+def encode_vp8l(
+    rgba: np.ndarray,
+    *,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    transforms: tuple = (),
+    meta_bits: int = 0,
+    group_of=None,
+) -> bytes:
+    """Encode (h, w, 4) uint8 RGBA to a VP8L chunk payload.
+
+    transforms: sequence of 'subtract_green' | ('predictor', size_bits,
+    mode) | ('color', size_bits, (g2r, g2b, r2b)) | 'palette', applied
+    (and announced) in the given order.
+    """
+    h, w = rgba.shape[:2]
+    argb = _argb_from_rgba(rgba)
+    bw = BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if bool((rgba[..., 3] != 255).any()) else 0, 1)
+    bw.write(0, 3)  # version
+
+    cur_w = w
+    for t in transforms:
+        if t == "subtract_green":
+            bw.write(1, 1)
+            bw.write(2, 2)
+            argb = forward_subtract_green(argb)
+        elif isinstance(t, tuple) and t[0] == "predictor":
+            _, size_bits, mode = t
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bw.write(size_bits - 2, 3)
+            bwd = (cur_w + (1 << size_bits) - 1) >> size_bits
+            bhd = (h + (1 << size_bits) - 1) >> size_bits
+            sub = np.full(bwd * bhd, (0xFF << 24) | (mode << 8), dtype=np.uint32)
+            argb_res = forward_predictor(argb, cur_w, h, mode)
+            _emit_image(bw, sub, bwd, bhd, level0=False)
+            argb = argb_res
+        elif isinstance(t, tuple) and t[0] == "color":
+            _, size_bits, (g2r, g2b, r2b) = t
+            bw.write(1, 1)
+            bw.write(1, 2)
+            bw.write(size_bits - 2, 3)
+            bwd = (cur_w + (1 << size_bits) - 1) >> size_bits
+            bhd = (h + (1 << size_bits) - 1) >> size_bits
+            cte = (0xFF << 24) | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (
+                g2r & 0xFF
+            )
+            sub = np.full(bwd * bhd, cte, dtype=np.uint32)
+            argb = forward_color_transform(argb, cur_w, h, g2r, g2b, r2b)
+            _emit_image(bw, sub, bwd, bhd, level0=False)
+        elif t == "palette":
+            packed, pw, palette, wbits = forward_palette(argb, cur_w, h)
+            bw.write(1, 1)
+            bw.write(3, 2)
+            bw.write(len(palette) - 1, 8)
+            # delta-encode palette entries per channel byte
+            pal_px = np.zeros(len(palette), dtype=np.uint32)
+            prev = 0
+            for i, v in enumerate(palette):
+                d = 0
+                for sh in (0, 8, 16, 24):
+                    d |= (((v >> sh) - (prev >> sh)) & 0xFF) << sh
+                pal_px[i] = np.uint32(d)
+                prev = v
+            _emit_image(bw, pal_px, len(palette), 1, level0=False)
+            argb = packed
+            cur_w = pw
+        else:
+            raise ValueError(f"unknown transform {t!r}")
+    bw.write(0, 1)  # end of transforms
+
+    _emit_image(
+        bw,
+        argb,
+        cur_w,
+        h,
+        cache_bits=cache_bits,
+        lz77=lz77,
+        meta_bits=meta_bits,
+        group_of=group_of,
+        level0=True,
+    )
+    return bw.tobytes()
+
+
+def wrap_webp(vp8l_payload: bytes, with_vp8x: bool = False, w: int = 0, h: int = 0) -> bytes:
+    chunks = b""
+    if with_vp8x:
+        flags = 0
+        body = (
+            flags.to_bytes(4, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunks += b"VP8X" + len(body).to_bytes(4, "little") + body
+    payload = vp8l_payload
+    chunks += b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    riff = b"WEBP" + chunks
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
