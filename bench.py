@@ -303,8 +303,11 @@ def main() -> None:
 
 
 def scaling_child(cores: int, replicate: int) -> None:
-    """Run the full pipeline job AND the end-to-end corpus build,
-    print files/sec for both (one line)."""
+    """Run the selected scaling jobs ($SPARK_GRAFT_SCALE_JOBS, default
+    both the pipeline job and the end-to-end corpus build), print
+    rows/sec for each (one line). Restricting to one job makes very
+    large single-point measurements (e.g. the ~10M-row corpus-build
+    Amdahl check) affordable."""
     global CPUS
     CPUS = cores
     from pyspark.sql import functions as F
@@ -314,13 +317,21 @@ def scaling_child(cores: int, replicate: int) -> None:
     from cleanvision_spark.plans.corpus_build import build_corpus
     from cleanvision_spark.plans.pipeline import quality_filter
 
+    jobs = os.environ.get("SPARK_GRAFT_SCALE_JOBS", "pipeline,cb").split(",")
     spark = _spark(cores)
-    corpus = _corpus(spark, replicate)
-    _force(quality_filter(corpus.limit(256), merge_params(None)))  # warmup
-    t0 = time.monotonic()
-    n = _force(quality_filter(corpus, merge_params(None)))
-    dt = time.monotonic() - t0
-    release_tracked()
+    out: dict = {"cores": cores}
+    if "pipeline" in jobs:
+        corpus = _corpus(spark, replicate)
+        _force(quality_filter(corpus.limit(256), merge_params(None)))  # warmup
+        t0 = time.monotonic()
+        n = _force(quality_filter(corpus, merge_params(None)))
+        dt = time.monotonic() - t0
+        release_tracked()
+        out.update(rows=n, sec=round(dt, 3), files_per_sec=round(n / dt, 1))
+    if "cb" not in jobs:
+        spark.stop()
+        print(json.dumps(out))
+        return
 
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     reps = spark.range(replicate).select(F.col("id").alias("rep"))
@@ -354,19 +365,12 @@ def scaling_child(cores: int, replicate: int) -> None:
     dt_cb = time.monotonic() - t0
     release_tracked()
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "rows": n,
-                "sec": round(dt, 3),
-                "files_per_sec": round(n / dt, 1),
-                "cb_rows": n_cb,
-                "cb_sec": round(dt_cb, 3),
-                "cb_rows_per_sec": round(n_cb / dt_cb, 1),
-            }
-        )
+    out.update(
+        cb_rows=n_cb,
+        cb_sec=round(dt_cb, 3),
+        cb_rows_per_sec=round(n_cb / dt_cb, 1),
     )
+    print(json.dumps(out))
 
 
 def scaling() -> None:
@@ -384,11 +388,14 @@ def scaling() -> None:
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE", "2,8").split(",")
     )
+    jobs = os.environ.get("SPARK_GRAFT_SCALE_JOBS", "pipeline,cb").split(",")
+    # $SPARK_GRAFT_SCALE_RUNS=1 allows single-shot very large points
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
     results = {}
     # two rounds per leg, keep the faster: the shared host shows 1.5x
     # co-tenant noise spikes and min-wall is the least-interference
     # estimate of the job's true throughput at each level
-    for cores in (lo, hi, lo, hi):
+    for cores in (lo, hi) * runs:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
         # taskset confines the WHOLE process tree (JVM GC/compiler threads
         # included) to `cores` host CPUs — without it, local[2] borrows
@@ -415,34 +422,50 @@ def scaling() -> None:
         if prev is None:
             results[cores] = res
         else:
-            # best-of-2 independently per metric
-            if res["sec"] < prev["sec"]:
+            # best-of-N independently per metric
+            if "pipeline" in jobs and res["sec"] < prev["sec"]:
                 prev.update({k: res[k] for k in ("rows", "sec", "files_per_sec")})
-            if res["cb_sec"] < prev["cb_sec"]:
+            if "cb" in jobs and res["cb_sec"] < prev["cb_sec"]:
                 prev.update(
                     {k: res[k] for k in ("cb_rows", "cb_sec", "cb_rows_per_sec")}
                 )
-    thr_lo, thr_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
-    cb_lo, cb_hi = results[lo]["cb_rows_per_sec"], results[hi]["cb_rows_per_sec"]
-    cb_eff = (cb_hi / cb_lo) / (hi / lo)
+    queries: dict = {}
+    eff = None
+    if "pipeline" in jobs:
+        thr_lo, thr_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        queries.update(
+            {
+                f"pipeline_local{lo}_files_per_sec": thr_lo,
+                f"pipeline_local{hi}_files_per_sec": thr_hi,
+                f"local{lo}_sec": results[lo]["sec"],
+                f"local{hi}_sec": results[hi]["sec"],
+            }
+        )
+    if "cb" in jobs:
+        cb_lo, cb_hi = results[lo]["cb_rows_per_sec"], results[hi]["cb_rows_per_sec"]
+        cb_eff = (cb_hi / cb_lo) / (hi / lo)
+        queries.update(
+            {
+                f"corpus_build_local{lo}_rows_per_sec": cb_lo,
+                f"corpus_build_local{hi}_rows_per_sec": cb_hi,
+                f"corpus_build_local{lo}_sec": results[lo]["cb_sec"],
+                f"corpus_build_local{hi}_sec": results[hi]["cb_sec"],
+                "corpus_build_rows": results[lo]["cb_rows"],
+                "corpus_build_scaling_efficiency": round(cb_eff, 3),
+            }
+        )
+        if eff is None:
+            eff = cb_eff
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 3),
                 "unit": "ratio",
-                "queries": {
-                    f"pipeline_local{lo}_files_per_sec": thr_lo,
-                    f"pipeline_local{hi}_files_per_sec": thr_hi,
-                    f"local{lo}_sec": results[lo]["sec"],
-                    f"local{hi}_sec": results[hi]["sec"],
-                    f"corpus_build_local{lo}_rows_per_sec": cb_lo,
-                    f"corpus_build_local{hi}_rows_per_sec": cb_hi,
-                    "corpus_build_scaling_efficiency": round(cb_eff, 3),
-                },
+                "queries": queries,
                 "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
-                "rows": results[lo]["rows"],
+                "rows": results[lo].get("rows", results[lo].get("cb_rows")),
             }
         )
     )

@@ -61,12 +61,10 @@ class _BitReader:
         p = self.pos
         if p + n > self.nbits:
             raise ValueError("truncated VP8L stream")
-        v = 0
-        d = self.data
-        for i in range(n):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        b0 = p >> 3
+        chunk = int.from_bytes(self.data[b0 : b0 + ((n + (p & 7) + 7) >> 3)], "little")
         self.pos = p + n
-        return v
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
         p = self.pos
@@ -75,12 +73,31 @@ class _BitReader:
         self.pos = p + 1
         return (self.data[p >> 3] >> (p & 7)) & 1
 
+    def peek(self, n: int) -> int:
+        """Next n stream bits (bit i of the result = i-th bit to be
+        read), zero-padded past end-of-stream; does not advance."""
+        p = self.pos
+        b0 = p >> 3
+        chunk = int.from_bytes(self.data[b0 : b0 + ((n + (p & 7) + 7) >> 3)], "little")
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
+
+
+#: primary lookup-table width: 2^10 slots covers every code of length
+#: <= 10 in one peek; longer codes (rare by Kraft mass < 2^-10 per use)
+#: fall back to the bit-by-bit dict walk. Bounded at 1024 ints so a
+#: crafted meta image with thousands of code groups cannot balloon memory.
+_LUT_BITS = 10
+
 
 class _PrefixCode:
     """Canonical prefix code decoder: codes are transmitted MSB-first
-    (DEFLATE/zlib convention, which VP8L's table builder follows)."""
+    (DEFLATE/zlib convention, which VP8L's table builder follows).
 
-    __slots__ = ("table", "single", "maxlen")
+    Decode fast path is a flat table indexed by the next `lut_bits`
+    stream bits (LSB-first peek): entry = (symbol << 4) | code_length,
+    0 = code longer than the table (slow dict walk)."""
+
+    __slots__ = ("table", "single", "maxlen", "lut", "lut_bits")
 
     def __init__(self, lengths: list[int]):
         self.single = None
@@ -107,16 +124,41 @@ class _PrefixCode:
         kraft = sum(bl_count[ln] << (maxlen - ln) for ln in range(1, maxlen + 1))
         if kraft != (1 << maxlen):
             raise ValueError("incomplete/overfull prefix code")
+        lut_bits = maxlen if maxlen < _LUT_BITS else _LUT_BITS
+        lut_size = 1 << lut_bits
+        lut = [0] * lut_size
         table: dict[tuple[int, int], int] = {}
         for s, ln in used:  # enumerate() kept symbols ascending
-            table[(ln, next_code[ln])] = s
+            c = next_code[ln]
+            table[(ln, c)] = s
             next_code[ln] += 1
+            if ln <= lut_bits:
+                # stream bits arrive MSB-of-code first and peek() puts the
+                # first-arriving bit at bit 0, so the table index is the
+                # bit-reversal of the canonical code, replicated across
+                # every combination of the higher don't-care bits
+                rev = 0
+                for i in range(ln):
+                    rev |= ((c >> (ln - 1 - i)) & 1) << i
+                step = 1 << ln
+                packed = (s << 4) | ln
+                lut[rev::step] = [packed] * ((lut_size - rev + step - 1) >> ln)
         self.table = table
         self.maxlen = maxlen
+        self.lut = lut
+        self.lut_bits = lut_bits
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        v = self.lut[br.peek(self.lut_bits)]
+        if v:
+            ln = v & 15
+            if br.pos + ln > br.nbits:
+                raise ValueError("truncated VP8L stream")
+            br.pos += ln
+            return v >> 4
+        # slow path: code longer than the primary table
         code = 0
         ln = 0
         t = self.table
@@ -228,11 +270,12 @@ def _decode_pixels(
 ) -> np.ndarray:
     """Spatial decode -> flat uint32 ARGB array of length w*h."""
     npix = w * h
-    out = np.zeros(npix, dtype=np.uint32)
+    out = [0] * npix
     cache = [0] * (1 << cache_bits) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
     if meta is not None:
         meta_img, meta_bits, meta_w = meta
+        meta_lst = meta_img.tolist()
     pos = 0
     x = 0
     y = 0
@@ -240,7 +283,7 @@ def _decode_pixels(
     cur_group = 0
     while pos < npix:
         if meta is not None:
-            gi = int(meta_img[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            gi = meta_lst[(y >> meta_bits) * meta_w + (x >> meta_bits)]
             gi = (gi >> 8) & 0xFFFF  # (red << 8) | green
             if gi != cur_group:
                 if gi >= len(groups):
@@ -273,16 +316,27 @@ def _decode_pixels(
                     dist = 1
             if dist > pos or pos + length > npix:
                 raise ValueError("invalid backward reference")
-            for _ in range(length):
-                px = int(out[pos - dist])
-                out[pos] = px
-                if cache is not None:
+            if cache is None:
+                # overlapping copies must go pixel-by-pixel (LZ77 RLE)
+                if dist >= length:
+                    out[pos : pos + length] = out[pos - dist : pos - dist + length]
+                else:
+                    for _ in range(length):
+                        out[pos] = out[pos - dist]
+                        pos += 1
+                    pos -= length
+            else:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
                     cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> shift] = px
-                pos += 1
-                x += 1
-                if x == w:
-                    x = 0
-                    y += 1
+                    pos += 1
+                pos -= length
+            pos += length
+            x += length
+            if x >= w:
+                y += x // w
+                x %= w
         else:
             if cache is None:
                 raise ValueError("color cache symbol without color cache")
@@ -296,7 +350,7 @@ def _decode_pixels(
             if x == w:
                 x = 0
                 y += 1
-    return out
+    return np.array(out, dtype=np.uint32)
 
 
 def _decode_image_stream(br: _BitReader, w: int, h: int, level0: bool):
@@ -375,94 +429,96 @@ def _sub_size(size: int, bits: int) -> int:
 # ---------------------------------------------------------------- transforms
 
 
-def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return (a.astype(np.int32) + b.astype(np.int32)) >> 1
+def _add4(a: int, b: int) -> int:
+    """Packed per-byte addition mod 256 (SWAR, no cross-byte carry)."""
+    return ((a & 0x7F7F7F7F) + (b & 0x7F7F7F7F)) ^ ((a ^ b) & 0x80808080)
 
 
-def _clamp255(v: np.ndarray | int):
-    return np.clip(v, 0, 255)
+def _avg2i(a: int, b: int) -> int:
+    """Packed per-byte floor((a+b)/2) (SWAR)."""
+    return (a & b) + (((a ^ b) & 0xFEFEFEFE) >> 1)
 
 
-def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
-    """One pixel's 4-channel prediction; channel vectors are int32."""
-    if mode == 0:
-        return np.array([255, 0, 0, 0], dtype=np.int32)  # A,R,G,B = opaque black
-    if mode == 1:
-        return L
-    if mode == 2:
-        return T
-    if mode == 3:
-        return TR
-    if mode == 4:
-        return TL
-    if mode == 5:
-        return _avg2(_avg2(L, TR), T)
-    if mode == 6:
-        return _avg2(L, TL)
-    if mode == 7:
-        return _avg2(L, T)
-    if mode == 8:
-        return _avg2(TL, T)
-    if mode == 9:
-        return _avg2(T, TR)
-    if mode == 10:
-        return _avg2(_avg2(L, TL), _avg2(T, TR))
-    if mode == 11:  # Select
-        p = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
-        pL = int(np.abs(p - L).sum())
-        pT = int(np.abs(p - T).sum())
+def _ch4(v: int) -> tuple[int, int, int, int]:
+    return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+
+
+def _predict_slow(mode: int, L: int, T: int, TL: int) -> int:
+    """Channel-wise predictors 11-13 (Select / ClampAddSubtract{Full,Half});
+    the clamp/abs semantics don't reduce to SWAR."""
+    La, Lr, Lg, Lb = _ch4(L)
+    Ta, Tr, Tg, Tb = _ch4(T)
+    Ca, Cr, Cg, Cb = _ch4(TL)
+    if mode == 11:  # Select: |p-L| == |T-TL|, |p-T| == |L-TL| per channel
+        pL = abs(Ta - Ca) + abs(Tr - Cr) + abs(Tg - Cg) + abs(Tb - Cb)
+        pT = abs(La - Ca) + abs(Lr - Cr) + abs(Lg - Cg) + abs(Lb - Cb)
         return L if pL < pT else T
-    if mode == 12:  # ClampAddSubtractFull
-        return _clamp255(L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32))
-    if mode == 13:  # ClampAddSubtractHalf
-        ave = _avg2(L, T)
-        d = ave - TL.astype(np.int32)
-        # C truncation toward zero, not Python floor
-        half = np.where(d >= 0, d >> 1, -((-d) >> 1))
-        return _clamp255(ave + half)
-    raise ValueError(f"bad predictor mode {mode}")
-
-
-def _px_channels(img: np.ndarray, y: int, x: int) -> np.ndarray:
-    v = int(img[y, x])
-    return np.array(
-        [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
-        dtype=np.int32,
-    )
+    out = 0
+    for lc, tc, cc in ((La, Ta, Ca), (Lr, Tr, Cr), (Lg, Tg, Cg), (Lb, Tb, Cb)):
+        if mode == 12:  # ClampAddSubtractFull
+            v = lc + tc - cc
+        else:  # 13: ClampAddSubtractHalf
+            ave = (lc + tc) >> 1
+            d = ave - cc
+            # C truncation toward zero, not Python floor
+            v = ave + (d >> 1 if d >= 0 else -((-d) >> 1))
+        out = (out << 8) | (0 if v < 0 else 255 if v > 255 else v)
+    return out
 
 
 def _inverse_predictor(argb: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray):
-    img = argb.reshape(h, w)
+    px = argb.tolist()
     bw = _sub_size(w, size_bits)
+    modes = [(int(v) >> 8) & 0xFF for v in sub.tolist()]
+    for mode in modes:
+        if mode > 13:
+            raise ValueError(f"bad predictor mode {mode}")
     for y in range(h):
+        row = y * w
+        mrow = (y >> size_bits) * bw
         for x in range(w):
+            i = row + x
             if y == 0 and x == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                pred = 0xFF000000
             elif y == 0:
-                pred = _px_channels(img, 0, x - 1)  # L
+                pred = px[i - 1]  # L
             elif x == 0:
-                pred = _px_channels(img, y - 1, 0)  # T
+                pred = px[i - w]  # T
             else:
-                mode = (int(sub[(y >> size_bits) * bw + (x >> size_bits)]) >> 8) & 0xFF
-                L = _px_channels(img, y, x - 1)
-                T = _px_channels(img, y - 1, x)
-                TL = _px_channels(img, y - 1, x - 1)
-                # rightmost column: TR wraps to first pixel of current row
-                TR = (
-                    _px_channels(img, y - 1, x + 1)
-                    if x + 1 < w
-                    else _px_channels(img, y, 0)
-                )
-                pred = _predict(mode, L, T, TL, TR)
-            cur = _px_channels(img, y, x)
-            rec = (cur + pred) & 0xFF
-            img[y, x] = (
-                (int(rec[0]) << 24)
-                | (int(rec[1]) << 16)
-                | (int(rec[2]) << 8)
-                | int(rec[3])
-            )
-    return img.reshape(-1)
+                mode = modes[mrow + (x >> size_bits)]
+                L = px[i - 1]
+                T = px[i - w]
+                if mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 0:
+                    pred = 0xFF000000  # A,R,G,B = opaque black
+                elif mode == 7:
+                    pred = _avg2i(L, T)
+                else:
+                    TL = px[i - w - 1]
+                    if mode == 4:
+                        pred = TL
+                    elif mode == 6:
+                        pred = _avg2i(L, TL)
+                    elif mode == 8:
+                        pred = _avg2i(TL, T)
+                    elif mode >= 11:
+                        pred = _predict_slow(mode, L, T, TL)
+                    else:
+                        # rightmost column: TR wraps to first pixel of row
+                        TR = px[i - w + 1] if x + 1 < w else px[row]
+                        if mode == 3:
+                            pred = TR
+                        elif mode == 5:
+                            pred = _avg2i(_avg2i(L, TR), T)
+                        elif mode == 9:
+                            pred = _avg2i(T, TR)
+                        else:  # 10
+                            pred = _avg2i(_avg2i(L, TL), _avg2i(T, TR))
+            px[i] = _add4(px[i], pred)
+    return np.array(px, dtype=np.uint32)
 
 
 def _inverse_color_transform(argb: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray):
