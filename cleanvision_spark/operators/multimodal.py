@@ -882,6 +882,55 @@ def _gif_subblocks(b: bytes, pos: int) -> tuple[bytes, int]:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
 
 
+def _gif_read_frame(b: bytes, pos: int, gct):
+    """Parse one image-descriptor block (``pos`` just past the 0x2C
+    byte): descriptor, optional local color table, LZW pixel data,
+    4-pass de-interlace. Returns (left, top, w, h, index grid, palette,
+    new_pos)."""
+    if pos + 9 > len(b):
+        raise ValueError("GIF image descriptor truncated")
+    left = int.from_bytes(b[pos : pos + 2], "little")
+    top = int.from_bytes(b[pos + 2 : pos + 4], "little")
+    w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+    h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+    ipacked = b[pos + 8]
+    pos += 9
+    pal = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 7)
+        pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(pal) != n:
+            raise ValueError("GIF local color table truncated")
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF image without color table")
+    if w == 0 or h == 0:
+        raise ValueError("empty GIF frame")
+    if pos >= len(b):
+        raise ValueError("GIF image data truncated")
+    min_code = b[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError("bad GIF LZW code size")
+    data, pos = _gif_subblocks(b, pos)
+    idx = np.frombuffer(_lzw_decode_gif(data, min_code)[: w * h], dtype=np.uint8)
+    if len(idx) < w * h:
+        raise ValueError("GIF pixel data short")
+    rows = idx.reshape(h, w)
+    if ipacked & 0x40:  # interlaced: 4-pass row order
+        grid = np.empty((h, w), dtype=np.uint8)
+        src = 0
+        for start, step in _GIF_INTERLACE:
+            for y in range(start, h, step):
+                grid[y] = rows[src]
+                src += 1
+    else:
+        grid = rows
+    if int(grid.max()) >= len(pal):
+        raise ValueError("GIF palette index out of range")
+    return left, top, w, h, grid, pal, pos
+
+
 def decode_gif(b: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 with
     stdlib + numpy only: logical screen descriptor, global/local color
@@ -914,51 +963,7 @@ def decode_gif(b: bytes) -> np.ndarray:
             pos += 1
             _, pos = _gif_subblocks(b, pos)
         elif blk == 0x2C:  # image descriptor
-            if pos + 9 > len(b):
-                raise ValueError("GIF image descriptor truncated")
-            left = int.from_bytes(b[pos : pos + 2], "little")
-            top = int.from_bytes(b[pos + 2 : pos + 4], "little")
-            w = int.from_bytes(b[pos + 4 : pos + 6], "little")
-            h = int.from_bytes(b[pos + 6 : pos + 8], "little")
-            ipacked = b[pos + 8]
-            pos += 9
-            pal = gct
-            if ipacked & 0x80:
-                n = 2 << (ipacked & 7)
-                pal = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(
-                    -1, 3
-                )
-                if len(pal) != n:
-                    raise ValueError("GIF local color table truncated")
-                pos += 3 * n
-            if pal is None:
-                raise ValueError("GIF image without color table")
-            if w == 0 or h == 0:
-                raise ValueError("empty GIF frame")
-            if pos >= len(b):
-                raise ValueError("GIF image data truncated")
-            min_code = b[pos]
-            pos += 1
-            if not 2 <= min_code <= 11:
-                raise ValueError("bad GIF LZW code size")
-            data, pos = _gif_subblocks(b, pos)
-            idx = np.frombuffer(
-                _lzw_decode_gif(data, min_code)[: w * h], dtype=np.uint8
-            )
-            if len(idx) < w * h:
-                raise ValueError("GIF pixel data short")
-            grid = np.empty((h, w), dtype=np.uint8)
-            rows = idx.reshape(h, w)
-            if ipacked & 0x40:  # interlaced: 4-pass row order
-                src = 0
-                for start, step in _GIF_INTERLACE:
-                    for y in range(start, h, step):
-                        grid[y] = rows[src]
-                        src += 1
-            else:
-                grid = rows
-            if int(grid.max()) >= len(pal):
-                raise ValueError("GIF palette index out of range")
+            left, top, w, h, grid, pal, pos = _gif_read_frame(b, pos, gct)
             # frame 0 composited onto the logical screen when it fits
             # inside a larger one; the surround takes the screen's
             # declared background color (byte 11 — an index into the
@@ -982,6 +987,94 @@ def decode_gif(b: bytes) -> np.ndarray:
         else:
             raise ValueError("bad GIF block")
     raise ValueError("GIF contains no image frame")
+
+
+def decode_gif_frames(b: bytes) -> list[tuple[float, np.ndarray]]:
+    """Decode ALL frames of a (possibly animated) GIF87a/89a,
+    compositing each onto the logical screen with Graphic Control
+    Extension semantics: per-frame delay (centiseconds), transparency
+    index (transparent pixels leave the canvas untouched), and disposal
+    methods 0/1 (leave), 2 (restore background), 3 (restore previous).
+    Returns [(t_ms, (sh, sw, 3) uint8)] where t_ms is each frame's
+    cumulative start time. ``decode_gif`` keeps its single-frame
+    contract (parity with the reference's PIL frame-0 open); this is
+    the animation path for ``frame_sample``."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("GIF header truncated")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    if sw == 0 or sh == 0:
+        raise ValueError("empty GIF screen")
+    packed = b[10]
+    bg_index = b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    if gct is not None and bg_index < len(gct):
+        bg_rgb = gct[bg_index]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[tuple[float, np.ndarray]] = []
+    t_ms = 0.0
+    pending: tuple[int, int, int | None] | None = None
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("GIF extension truncated")
+            label = b[pos]
+            pos += 1
+            data, pos = _gif_subblocks(b, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                gp = data[0]
+                pending = (
+                    int.from_bytes(data[1:3], "little"),  # delay, cs
+                    (gp >> 2) & 7,  # disposal
+                    data[3] if gp & 1 else None,  # transparent index
+                )
+        elif blk == 0x2C:  # image descriptor
+            left, top, w, h, grid, pal, pos = _gif_read_frame(b, pos, gct)
+            delay_cs, disposal, trans = pending or (0, 0, None)
+            pending = None
+            # clip the frame rectangle to the logical screen
+            h_c = min(h, sh - top)
+            w_c = min(w, sw - left)
+            saved = None
+            if h_c > 0 and w_c > 0:
+                region = canvas[top : top + h_c, left : left + w_c]
+                if disposal == 3:
+                    saved = region.copy()
+                sub = grid[:h_c, :w_c]
+                rgb = pal[sub]
+                if trans is not None:
+                    mask = sub != trans
+                    region[mask] = rgb[mask]
+                else:
+                    region[:, :] = rgb
+            frames.append((round(t_ms, 6), canvas.copy()))
+            t_ms += delay_cs * 10.0
+            if h_c > 0 and w_c > 0:
+                if disposal == 2:
+                    canvas[top : top + h_c, left : left + w_c] = bg_rgb
+                elif disposal == 3 and saved is not None:
+                    canvas[top : top + h_c, left : left + w_c] = saved
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("bad GIF block")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames
 
 
 def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
@@ -1059,12 +1152,14 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def decode_tiff(b: bytes) -> np.ndarray:
-    """Decode a strip-based 8-bit TIFF to (h, w, c) uint8 with stdlib +
-    numpy only: both byte orders, compression none (1) / LZW with early
-    change (5) / PackBits (32773), horizontal-differencing predictor,
-    photometric white-is-zero / black-is-zero / RGB / palette. Tiled,
-    non-8-bit and other-compression TIFFs raise UnsupportedMediaVariant;
-    structural damage raises ValueError."""
+    """Decode a strip- or tile-based 8-bit TIFF to (h, w, c) uint8 with
+    stdlib + numpy only: both byte orders, compression none (1) / LZW
+    with early change (5) / Deflate (8, and old-style 32946) / PackBits
+    (32773), horizontal-differencing predictor, photometric
+    white-is-zero / black-is-zero / RGB / palette. Tiled layouts (tags
+    322-325) assemble edge-cropped tiles with the predictor applied per
+    tile. Non-8-bit and other-compression TIFFs raise
+    UnsupportedMediaVariant; structural damage raises ValueError."""
     if b[:4] == b"II*\x00":
         bo = "little"
     elif b[:4] == b"MM\x00*":
@@ -1107,8 +1202,6 @@ def decode_tiff(b: bytes) -> np.ndarray:
             raise ValueError(f"TIFF missing tag {t}")
         return default
 
-    if 322 in tags or 323 in tags:
-        raise UnsupportedMediaVariant("tiled TIFF")
     if tags.get(284, [1])[0] != 1:  # PlanarConfiguration 2 = per-plane strips
         raise UnsupportedMediaVariant("planar TIFF")
     w = tag1(256)
@@ -1118,38 +1211,74 @@ def decode_tiff(b: bytes) -> np.ndarray:
     if any(x != 8 for x in bps):
         raise UnsupportedMediaVariant("non-8-bit TIFF")
     comp = tag1(259, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise UnsupportedMediaVariant(f"TIFF compression {comp}")
     photometric = tag1(262, 1)
     predictor = tag1(317, 1)
     if predictor not in (1, 2):
         raise UnsupportedMediaVariant(f"TIFF predictor {predictor}")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strips missing")
-    rows_per_strip = tag1(278, h)
     if w == 0 or h == 0:
         raise ValueError("empty TIFF")
-    row_bytes = w * spp
-    out = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+
+    def segment(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(b):
-            raise ValueError("TIFF strip out of range")
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        expected = nrows * row_bytes
+            raise ValueError("TIFF segment out of range")
         raw = b[off : off + cnt]
         if comp == 1:
             if len(raw) < expected:
-                raise ValueError("TIFF strip short")
-            out += raw[:expected]
-        elif comp == 5:
-            out += _lzw_decode_tiff(raw, expected)
-        else:
-            out += _packbits_decode(raw, expected)
-    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing
-        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+                raise ValueError("TIFF segment short")
+            return raw[:expected]
+        if comp == 5:
+            return _lzw_decode_tiff(raw, expected)
+        if comp in (8, 32946):
+            import zlib
+
+            try:
+                data = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate segment: {exc}") from exc
+            if len(data) < expected:
+                raise ValueError("TIFF deflate segment short")
+            return data[:expected]
+        return _packbits_decode(raw, expected)
+
+    if 322 in tags or 323 in tags:  # tiled layout
+        tw = tag1(322)
+        tl = tag1(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not tw or not tl or tw % 16 or tl % 16:
+            raise ValueError("bad TIFF tile size")
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tiles missing")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count mismatch")
+        img = np.zeros((h, w, spp), dtype=np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            data = segment(off, cnt, tl * tw * spp)
+            tile = np.frombuffer(data, dtype=np.uint8).reshape(tl, tw, spp)
+            if predictor == 2:  # horizontal differencing, per tile row
+                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * tl, tx * tw
+            nr, nc = min(tl, h - y0), min(tw, w - x0)
+            img[y0 : y0 + nr, x0 : x0 + nc] = tile[:nr, :nc]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strips missing")
+        rows_per_strip = tag1(278, h)
+        row_bytes = w * spp
+        out = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            out += segment(off, cnt, nrows * row_bytes)
+        img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing (strips span full rows)
+            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
     if photometric == 3:  # palette: ColorMap is 16-bit per channel
         cm = tags.get(320)
         if not cm or len(cm) != 3 * 256 or spp != 1:
@@ -1455,15 +1584,18 @@ FRAME_SCHEMA = T.StructType(FRAME_FIELDS)
 
 
 def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL video frame sampling for MJPEG AVI payloads: one
+    """REAL frame sampling for MJPEG AVI and animated GIF payloads: one
     mapInPandas pass parses the container, keeps every ``every_n``-th
-    frame, and decodes it with the existing JPEG machinery — emitting
-    per-frame dimensions, pixel mean, timestamp and content hash.
-    Non-AVI / non-MJPEG payloads degrade to a single tagged row
-    (format 'unsupported' / 'corrupt'), mirroring decode_media's
-    poison-safety. Per-row state only, so the pass parallelizes like
-    every other decode stage; at scale, sampled frames feed the same
-    image pipeline (imageqc scores / hash families) as still images."""
+    frame, and decodes it with the existing machinery — emitting
+    per-frame dimensions, pixel mean, timestamp and content hash. The
+    hash is sha256 of the raw frame bitstream for AVI (each frame is a
+    standalone JPEG) and of the composited RGB canvas for GIF (GIF
+    frames are deltas, not standalone bitstreams). Other payloads
+    degrade to a single tagged row (format 'unsupported' / 'corrupt'),
+    mirroring decode_media's poison-safety. Per-row state only, so the
+    pass parallelizes like every other decode stage; at scale, sampled
+    frames feed the same image pipeline (imageqc scores / hash
+    families) as still images."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
     import hashlib
@@ -1475,6 +1607,23 @@ def frame_sample(df: DataFrame, every_n: int = 1) -> DataFrame:
             recs: list[dict] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 base = {f.name: None for f in FRAME_FIELDS if f.name != "media_id"}
+                head = bytes(payload[:6]) if payload is not None else b""
+                if head in (b"GIF87a", b"GIF89a"):
+                    try:
+                        gframes = decode_gif_frames(payload)
+                    except Exception:  # GIF has no unsupported-variant path
+                        recs.append({"media_id": mid, **base, "format": "corrupt"})
+                        continue
+                    for idx in range(0, len(gframes), every_n):
+                        t_ms, img = gframes[idx]
+                        recs.append({
+                            "media_id": mid, **base, "frame_idx": idx,
+                            "t_ms": t_ms, "format": "gif",
+                            "width": img.shape[1], "height": img.shape[0],
+                            "pixel_mean": round(float(img.mean()), 6),
+                            "frame_sha256": hashlib.sha256(img.tobytes()).hexdigest(),
+                        })
+                    continue
                 try:
                     period_ms, frames = parse_avi_mjpeg(payload)
                 except UnsupportedMediaVariant:

@@ -126,6 +126,47 @@ def encode_gif(
     return bytes(out)
 
 
+def encode_gif_anim(
+    frames: list[dict],
+    palette: np.ndarray,
+    screen: tuple[int, int] | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """Animated GIF89a by an independent forward path. ``frames`` is a
+    list of dicts: {"idx": (h, w) uint8 grid, "left": 0, "top": 0,
+    "delay_cs": 0, "disposal": 0, "transparent": None}. Global color
+    table only; screen defaults to frame-0 extent."""
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    pal_size = 1 << bits
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    h0, w0 = frames[0]["idx"].shape
+    sw, sh = screen if screen else (w0, h0)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), bg_index, 0])
+    out += pal.tobytes()
+    for fr in frames:
+        grid = fr["idx"]
+        h, w = grid.shape
+        trans = fr.get("transparent")
+        gce_packed = ((fr.get("disposal", 0) & 7) << 2) | (1 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_packed])
+        out += int(fr.get("delay_cs", 0)).to_bytes(2, "little")
+        out += bytes([trans if trans is not None else 0, 0])
+        out += bytes([0x2C])
+        out += int(fr.get("left", 0)).to_bytes(2, "little")
+        out += int(fr.get("top", 0)).to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no local table, not interlaced
+        min_code = max(2, bits)
+        out += bytes([min_code])
+        out += _subblocks(_gif_lzw_compress(grid.tobytes(), min_code))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
 # --- TIFF ------------------------------------------------------------------
 
 
@@ -215,17 +256,18 @@ def encode_tiff(
     palette: np.ndarray | None = None,
     photometric: int | None = None,
     planar_config: int | None = None,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
-    """Strip-based 8-bit TIFF bytes for (h, w, c) uint8 (or (h, w, 1)
-    indices with ``palette``). compression: 1=none, 5=LZW, 32773=PackBits."""
+    """Strip- or tile-based 8-bit TIFF bytes for (h, w, c) uint8 (or
+    (h, w, 1) indices with ``palette``). compression: 1=none, 5=LZW,
+    8=Deflate, 32773=PackBits. tile_size=(tile_len, tile_w) switches to
+    the tiled layout (tags 322-325; both must be multiples of 16)."""
     h, w, spp = img.shape
     bo = "big" if big_endian else "little"
     if photometric is None:
         photometric = 3 if palette is not None else (2 if spp >= 3 else 1)
-    rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = img[y0 : y0 + rps]
+
+    def pack(rows: np.ndarray) -> bytes:
         if predictor == 2:
             d = rows.astype(np.int64)
             d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1)
@@ -233,11 +275,30 @@ def encode_tiff(
         else:
             raw = rows.tobytes()
         if compression == 5:
-            strips.append(_tiff_lzw_compress(raw))
-        elif compression == 32773:
-            strips.append(_packbits_compress(raw))
-        else:
-            strips.append(raw)
+            return _tiff_lzw_compress(raw)
+        if compression == 8:
+            import zlib
+
+            return zlib.compress(raw)
+        if compression == 32773:
+            return _packbits_compress(raw)
+        return raw
+
+    strips = []
+    if tile_size is not None:
+        tl, tw = tile_size
+        padded = np.zeros(
+            (((h + tl - 1) // tl) * tl, ((w + tw - 1) // tw) * tw, spp),
+            dtype=np.uint8,
+        )
+        padded[:h, :w] = img
+        for y0 in range(0, padded.shape[0], tl):
+            for x0 in range(0, padded.shape[1], tw):
+                strips.append(pack(padded[y0 : y0 + tl, x0 : x0 + tw]))
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            strips.append(pack(img[y0 : y0 + rps]))
 
     def u16(v):
         return int(v).to_bytes(2, bo)
@@ -257,10 +318,16 @@ def encode_tiff(
     entry(258, 3, spp, [8] * spp)
     entry(259, 3, 1, [compression])
     entry(262, 3, 1, [photometric])
-    entry(273, 4, len(strips), None)  # patched below
     entry(277, 3, 1, [spp])
-    entry(278, 3, 1, [rps])
-    entry(279, 4, len(strips), [len(s) for s in strips])
+    if tile_size is not None:
+        entry(322, 3, 1, [tw])
+        entry(323, 3, 1, [tl])
+        entry(324, 4, len(strips), None)  # patched below
+        entry(325, 4, len(strips), [len(s) for s in strips])
+    else:
+        entry(273, 4, len(strips), None)  # patched below
+        entry(278, 3, 1, [rps])
+        entry(279, 4, len(strips), [len(s) for s in strips])
     if predictor == 2:
         entry(317, 3, 1, [predictor])
     if planar_config is not None:
@@ -289,7 +356,7 @@ def encode_tiff(
     ifd = bytearray(u16(len(entries)))
     opos = overflow_pos
     for (tag, typ, count, values), osz in zip(entries, sizes):
-        if tag == 273:
+        if tag in (273, 324):
             values = strip_offsets
         step = TYPE_SIZE[typ]
         enc = b"".join(int(v).to_bytes(step, bo) for v in values)

@@ -619,6 +619,45 @@ def test_decode_tiff_roundtrip():
     assert (decode_tiff(encode_tiff(big, compression=5)) == big).all()
 
 
+def test_decode_tiff_deflate_and_tiled():
+    from cleanvision_spark.operators.multimodal import decode_tiff
+    from tests.media_encoders import encode_tiff
+
+    rng = np.random.default_rng(92)
+    rgb = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(16, 32, 1), dtype=np.uint8)
+    for img in (rgb, gray):
+        for kw in (
+            {"compression": 8},  # Deflate strips
+            {"compression": 8, "predictor": 2, "rows_per_strip": 5},
+            {"compression": 8, "big_endian": True},
+            # tiled layouts: exact-fit and edge-cropped tiles, every codec
+            {"tile_size": (16, 16)},
+            {"tile_size": (16, 32), "compression": 5},
+            {"tile_size": (32, 16), "compression": 8},
+            {"tile_size": (16, 16), "compression": 32773},
+            {"tile_size": (16, 16), "compression": 8, "predictor": 2},
+            {"tile_size": (16, 16), "compression": 5, "big_endian": True},
+        ):
+            got = decode_tiff(encode_tiff(img, **kw))
+            assert got.shape == img.shape, kw
+            assert (got == img).all(), kw
+    # old-style Deflate code 32946 decodes identically to 8
+    blob = encode_tiff(rgb, compression=8)
+    blob = blob.replace(
+        (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (8).to_bytes(2, "little"),
+        (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (32946).to_bytes(2, "little"),
+        1,
+    )
+    assert (decode_tiff(blob) == rgb).all()
+    # corrupted deflate stream -> ValueError (corrupt), not a crash
+    tiled = encode_tiff(rgb, tile_size=(16, 16), compression=8)
+    with pytest.raises(ValueError):
+        decode_tiff(tiled[:-20] + b"\x00" * 20)
+
+
 def test_decode_tiff_rejects():
     from cleanvision_spark.operators.multimodal import (
         UnsupportedMediaVariant,
@@ -851,3 +890,92 @@ def test_parse_avi_mjpeg_and_frame_sample(spark):
     assert abs(r1["pixel_mean"] - round(float(dec.mean()), 6)) < 1e-9
     tags = {r["media_id"]: r["format"] for r in out if r["media_id"] != 1}
     assert tags[2] == "corrupt" and tags[3] == "corrupt"
+
+
+def test_decode_gif_frames_animation():
+    """Full animated-GIF compositing: delays accumulate, transparency
+    leaves the canvas untouched, disposal 2 restores background and
+    disposal 3 restores the pre-frame region; expectations built by an
+    independent numpy composite in-test."""
+    from cleanvision_spark.operators.multimodal import decode_gif, decode_gif_frames
+    from tests.media_encoders import encode_gif_anim
+
+    pal = np.array(
+        [[0, 0, 0], [200, 30, 30], [20, 180, 20], [40, 40, 220]], dtype=np.uint8
+    )
+    f0 = np.full((8, 8), 1, dtype=np.uint8)  # full-screen red
+    f1 = np.full((4, 4), 2, dtype=np.uint8)  # green patch at (2,2)...
+    f1[1, 1] = 3
+    f1[2, 2] = 3  # ...with index-3 pixels marked transparent
+    f2 = np.full((2, 2), 3, dtype=np.uint8)  # blue patch at (0,0), disposal 3
+    f3 = np.full((1, 1), 2, dtype=np.uint8)  # green dot at (7,7)
+    blob = encode_gif_anim(
+        [
+            {"idx": f0, "delay_cs": 5},
+            {"idx": f1, "left": 2, "top": 2, "delay_cs": 10,
+             "transparent": 3, "disposal": 2},
+            {"idx": f2, "delay_cs": 3, "disposal": 3},
+            {"idx": f3, "left": 7, "top": 7},
+        ],
+        pal,
+        screen=(8, 8),
+        bg_index=0,
+    )
+    frames = decode_gif_frames(blob)
+    assert [t for t, _ in frames] == [0.0, 50.0, 150.0, 180.0]
+    # independent composite
+    e0 = np.zeros((8, 8, 3), dtype=np.uint8)
+    e0[:, :] = pal[1]
+    e1 = e0.copy()
+    e1[2:6, 2:6] = pal[2]
+    e1[3, 3] = pal[1]
+    e1[4, 4] = pal[1]  # transparent pixels keep prior content
+    e2 = e1.copy()
+    e2[2:6, 2:6] = pal[0]  # frame-1 disposal 2: region -> background
+    e2[0:2, 0:2] = pal[3]
+    e3 = e2.copy()
+    e3[0:2, 0:2] = pal[1]  # frame-2 disposal 3: restore pre-frame region
+    e3[2:6, 2:6] = pal[0]  # (still background from disposal 2)
+    e3[7, 7] = pal[2]
+    for got, exp in zip(frames, (e0, e1, e2, e3)):
+        assert (got[1] == exp).all()
+    # frame-0 contract of decode_gif is unchanged on animated payloads
+    assert (decode_gif(blob) == e0).all()
+
+
+def test_frame_sample_gif(spark):
+    """frame_sample dispatches GIF payloads through the animation
+    decoder: every_n sampling, per-frame canvas hash, poison-safety."""
+    import hashlib
+
+    from cleanvision_spark.operators.multimodal import decode_gif_frames, frame_sample
+    from tests.media_encoders import encode_gif_anim
+
+    rng = np.random.default_rng(77)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    grids = [rng.integers(0, 8, size=(10, 12), dtype=np.uint8) for _ in range(5)]
+    blob = encode_gif_anim(
+        [{"idx": g, "delay_cs": 4} for g in grids], pal, screen=(12, 10)
+    )
+    expected = decode_gif_frames(blob)
+    rows = [
+        (1, "image", blob, {}),
+        (2, "image", b"GIF89a" + b"\x01" * 10, {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    out = frame_sample(df, every_n=2).collect()
+    got = sorted(
+        (r["frame_idx"], r["t_ms"], r["frame_sha256"], r["format"],
+         r["width"], r["height"], r["pixel_mean"])
+        for r in out
+        if r["media_id"] == 1
+    )
+    assert [g[0] for g in got] == [0, 2, 4]
+    assert [g[1] for g in got] == [0.0, 80.0, 160.0]
+    for (idx, _, sha, fmt, w, h, pm) in got:
+        img = expected[idx][1]
+        assert fmt == "gif" and (w, h) == (12, 10)
+        assert sha == hashlib.sha256(img.tobytes()).hexdigest()
+        assert abs(pm - round(float(img.mean()), 6)) < 1e-9
+    bad = next(r for r in out if r["media_id"] == 2)
+    assert bad["format"] == "corrupt" and bad["frame_idx"] is None
