@@ -4,8 +4,10 @@ Default mode (driver-run): one JSON line with per-query wall seconds at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
---scaling mode: runs the heavy pipeline job at local[8] and local[32]
-(subprocesses — one JVM per level) on the SAME input and reports
+--scaling mode: runs the heavy pipeline job at local[N] and local[4N]
+(default 2 and 8; subprocesses — one JVM per level, heap held at
+$SPARK_GRAFT_MEM_PER_CORE_GB per core so total memory scales with the
+"cluster" like real executors do) on the SAME input and reports
 files/sec at both plus scaling efficiency (thr_4N / thr_N) / 4 — the
 sandbox proxy for the north rule's N vs 4N executor criterion.
 
@@ -42,7 +44,19 @@ def _spark(cores: int):
     return spark
 
 
-def _corpus(spark, replicate: int = 1):
+#: target rows per input partition for replicated scaling corpora. A
+#: real cluster splits input by bytes (spark.sql.files.maxPartitionBytes),
+#: so partition count grows with DATA, not with executor count; tying it
+#: to cores alone gave multi-GB single tasks at large replicates and the
+#: measurement became GC/spill, not scaling.
+ROWS_PER_PART = 100_000
+
+
+def _parts(cores: int, n_rows: int) -> int:
+    return max(cores * 2, n_rows // ROWS_PER_PART)
+
+
+def _corpus(spark, replicate: int = 1, parts: int | None = None):
     from pyspark.sql import functions as F
 
     from cleanvision_spark.sources.corpus import corpus_from_documents
@@ -53,7 +67,7 @@ def _corpus(spark, replicate: int = 1):
         df = df.crossJoin(reps).withColumn(
             "path", F.concat(F.col("path"), F.lit("#"), F.col("_rep"))
         ).drop("_rep")
-    return df.repartition(CPUS * 2)
+    return df.repartition(parts or CPUS * 2)
 
 
 def _force(df) -> int:
@@ -320,8 +334,15 @@ def scaling_child(cores: int, replicate: int) -> None:
     jobs = os.environ.get("SPARK_GRAFT_SCALE_JOBS", "pipeline,cb").split(",")
     spark = _spark(cores)
     out: dict = {"cores": cores}
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # partition count sized for the DATA and IDENTICAL at both
+    # parallelism levels (the fair-comparison requirement); shuffle
+    # partitions follow it, AQE coalesces whatever is oversplit
+    parts = _parts(cores, docs0.count() * replicate)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    out["parts"] = parts
     if "pipeline" in jobs:
-        corpus = _corpus(spark, replicate)
+        corpus = _corpus(spark, replicate, parts=parts)
         _force(quality_filter(corpus.limit(256), merge_params(None)))  # warmup
         t0 = time.monotonic()
         n = _force(quality_filter(corpus, merge_params(None)))
@@ -333,7 +354,6 @@ def scaling_child(cores: int, replicate: int) -> None:
         print(json.dumps(out))
         return
 
-    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     reps = spark.range(replicate).select(F.col("id").alias("rep"))
     docs = (
         docs0.crossJoin(reps)
@@ -346,7 +366,7 @@ def scaling_child(cores: int, replicate: int) -> None:
         )
         # a replicate crossJoin collapses to the small side's single
         # partition — repartition or every narrow stage runs one task
-        .repartition(cores * 2)
+        .repartition(parts)
         .persist()
     )
     n_cb = docs.count()
@@ -395,8 +415,18 @@ def scaling() -> None:
     # two rounds per leg, keep the faster: the shared host shows 1.5x
     # co-tenant noise spikes and min-wall is the least-interference
     # estimate of the job's true throughput at each level
+    # memory-per-core held CONSTANT across levels (default 4g/core): a
+    # real 4N-executor cluster brings 4x the total memory of the N
+    # cluster, so giving both legs one fixed heap hands the small leg
+    # 4x the memory per core and distorts the ratio both ways — at 8M
+    # rows a shared 24g heap starved the local[8] leg (cache+shuffle
+    # thrash, 590s vs 196s healthy) while a shared 40g heap taxed the
+    # local[2] leg with big-heap GC. SPARK_GRAFT_DRIVER_MEM still
+    # overrides both legs explicitly.
+    mem_per_core = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "4"))
     for cores in (lo, hi) * runs:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{mem_per_core * cores}g")
         # taskset confines the WHOLE process tree (JVM GC/compiler threads
         # included) to `cores` host CPUs — without it, local[2] borrows
         # the other 30 CPUs for JVM work and the ratio is meaningless

@@ -17,15 +17,38 @@ that created it runs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
 
+def default_level() -> StorageLevel:
+    """Default storage level for tracked persists, overridable via
+    ``$SPARK_GRAFT_PERSIST_LEVEL`` (any ``StorageLevel`` attribute name,
+    e.g. ``DISK_ONLY``). MEMORY_AND_DISK is right while the cached
+    intermediates fit the executor storage region; once they exceed it
+    (a 100 TB corpus build caching the scored base), the unified memory
+    manager keeps evicting storage blocks under execution pressure and
+    the job pays eviction churn on top of the disk writes it was going
+    to do anyway — at that scale set DISK_ONLY and size executors for
+    EXECUTION memory only (measured on the 8M-row build: a heap sized
+    below the cache set ran 3x slower under MEMORY_AND_DISK than the
+    same job with adequate heap; see docs/SCALE.md)."""
+    name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "MEMORY_AND_DISK")
+    try:
+        return getattr(StorageLevel, name)
+    except AttributeError:
+        raise ValueError(
+            f"SPARK_GRAFT_PERSIST_LEVEL={name!r} is not a StorageLevel"
+        ) from None
+
+
 def tracked_persist(
     df: DataFrame,
-    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    level: StorageLevel | None = None,
     eager: bool = False,
 ) -> DataFrame:
     """``eager=True`` materializes the cache immediately (one count
@@ -34,7 +57,7 @@ def tracked_persist(
     populated, parallel stages each compute the full input expression
     (measured 2.5x on the 2M-row corpus build); an eager count
     serializes that first computation."""
-    out = df.persist(level)
+    out = df.persist(level if level is not None else default_level())
     _TRACKED.append(out)
     if eager:
         out.count()

@@ -112,3 +112,17 @@ def test_media_corpus_build_plan(spark, docs):
     # the decode UDF appears only under the cached scan subtrees
     assert p.count("MapInPandas") <= p.count("InMemoryTableScan")
     release_tracked()
+
+
+def test_persist_level_env_knob(monkeypatch):
+    from pyspark import StorageLevel
+
+    from cleanvision_spark.cache import default_level
+
+    monkeypatch.delenv("SPARK_GRAFT_PERSIST_LEVEL", raising=False)
+    assert default_level() == StorageLevel.MEMORY_AND_DISK
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_LEVEL", "DISK_ONLY")
+    assert default_level() == StorageLevel.DISK_ONLY
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_LEVEL", "NOPE")
+    with pytest.raises(ValueError, match="NOPE"):
+        default_level()
