@@ -3,8 +3,9 @@
 Decode coverage is format-tiered:
 - REAL decoders, zero external deps: PPM/PGM images (P2/P3/P5/P6 —
   header + raw pixels, parsed with numpy), PNG (stdlib ``zlib`` IDAT
-  inflate + per-scanline filter reconstruction in numpy — 8-bit and
-  16-bit, non-interlaced and Adam7-interlaced, color types 0/2/3/4/6),
+  inflate + per-scanline filter reconstruction in numpy — every
+  spec-legal depth 1/2/4/8/16 incl. bit-packed sub-byte scanlines,
+  non-interlaced and Adam7-interlaced, color types 0/2/3/4/6),
   baseline JPEG (SOF0 Huffman:
   canonical-code entropy decode, dequantize, integer 8x8 IDCT, chroma
   upsample, YCbCr->RGB — grayscale/4:4:4/subsampled, restart markers),
@@ -15,8 +16,8 @@ Decode coverage is format-tiered:
   width/height/channels, pixel mean/std, an 8x8 grayscale thumbnail,
   sample rate / duration / RMS — all computed distributed inside
   mapInPandas.
-- Valid-but-out-of-scope variants (bit-packed sub-byte-depth PNG,
-  arithmetic/12-bit JPEG, video containers) decode to
+- Valid-but-out-of-scope variants (arithmetic/12-bit/lossless JPEG,
+  non-8-bit TIFF, non-MJPEG video containers) decode to
   ``format='unsupported'`` rows rather than failing the job — at
   100 TB a poison payload must never kill a stage.
 
@@ -148,12 +149,33 @@ def decode_ppm(b: bytes) -> np.ndarray:
 
 class UnsupportedMediaVariant(ValueError):
     """A payload in a recognized format but an out-of-scope variant
-    (16-bit PNG, Adam7 interlace, exotic color type). Distinct from
+    (12-bit/arithmetic/lossless JPEG, non-8-bit TIFF). Distinct from
     corruption: decode_media tags these 'unsupported', not 'corrupt'."""
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2, Table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_unpack_subbyte(flat: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Expand bit-packed scanlines (depth 1/2/4, single channel — the
+    only sub-byte layouts the spec allows) to one sample per byte:
+    (h, rowbytes) packed -> (h, w) uint8 sample values. Samples are
+    packed MSB-first within each byte; row padding bits are dropped."""
+    bits = np.unpackbits(flat, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(flat.shape[0], -1, depth) * weights).sum(
+        axis=2, dtype=np.uint16
+    )
+    return vals[:, :w].astype(np.uint8)
 # Adam7 interlace pass geometry: (x_origin, y_origin, x_step, y_step).
 # Each pass is an independently-filtered sub-image whose scanlines are
 # concatenated in the single inflated IDAT stream (PNG spec §8.2).
@@ -222,20 +244,22 @@ def _png_unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8- or 16-bit, non-interlaced or Adam7-interlaced PNG to
-    (h, w, c) uint8 (or uint16 for depth-16 sources) with stdlib zlib +
-    numpy only (no PIL): chunk walk, IDAT inflate, then the five scanline
-    filters (None/Sub/Up/Average/Paeth) reconstructed row by row —
-    per Adam7 pass for interlaced streams, each pass an independent
-    sub-image scattered back on its (origin, step) grid. Palette images
-    are expanded through PLTE to RGB.
+    """Decode any spec-legal PNG — bit depths 1/2/4/8/16, color types
+    0/2/3/4/6, non-interlaced or Adam7-interlaced — to (h, w, c) uint8
+    (or uint16 for depth-16 sources) with stdlib zlib + numpy only (no
+    PIL): chunk walk, IDAT inflate, then the five scanline filters
+    (None/Sub/Up/Average/Paeth) reconstructed row by row — per Adam7
+    pass for interlaced streams, each pass an independent sub-image
+    scattered back on its (origin, step) grid. Sub-byte scanlines are
+    bit-unpacked MSB-first; grayscale samples are rescaled to the full
+    0-255 range (the spec's max-value convention, matching PIL's '1'/
+    'L' promotion). Palette images are expanded through PLTE to RGB.
 
     Covers the reference's core decode step (fsspec_dataset.py:55-59 —
     PIL.Image.open over fetched bytes) for the dominant lossless format.
-    Sub-byte depths (1/2/4, bit-packed scanlines) raise
-    UnsupportedMediaVariant; structural damage raises ValueError (tagged
-    'corrupt' by decode_media). Callers that need 0-255 pixels pass the
-    result through :func:`pixels_to_uint8`.
+    Structural damage raises ValueError (tagged 'corrupt' by
+    decode_media). Callers that need 0-255 pixels pass the result
+    through :func:`pixels_to_uint8`.
     """
     import struct
     import zlib
@@ -269,39 +293,46 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError("bad IHDR")
     if ct not in _PNG_CHANNELS:
         raise ValueError(f"bad color type {ct}")
-    if depth == 16 and ct == 3:  # spec: palette allows depths 1/2/4/8 only
+    if depth not in _PNG_DEPTHS[ct]:
         raise ValueError("bad IHDR")
-    if depth not in (8, 16):
-        raise UnsupportedMediaVariant(f"PNG bit depth not decoded here ({depth})")
     nch = _PNG_CHANNELS[ct]
-    bpp = nch * (depth // 8)
+    # filter predictor distance: whole pixels for byte depths, one byte
+    # for bit-packed scanlines (spec §9.2 — "bpp is rounded up to one")
+    bpp = max(1, nch * depth // 8)
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        rowbytes = w * bpp
+        rowbytes = (w * nch * depth + 7) // 8
         if len(raw) != h * (rowbytes + 1):
             raise ValueError("IDAT size mismatch")
         flat = _png_unfilter(raw, h, rowbytes, bpp)
+        if depth < 8:  # single-channel by spec; unpack to 1 sample/byte
+            flat = _png_unpack_subbyte(flat, w, depth)
     else:  # Adam7: unfilter each pass, scatter onto the (origin, step) grid
-        flat = np.zeros((h, w * bpp), dtype=np.uint8)
-        grid = flat.reshape(h, w, bpp)
+        width_bytes = w * bpp if depth >= 8 else w
+        flat = np.zeros((h, width_bytes), dtype=np.uint8)
+        grid = flat.reshape(h, w, -1)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:  # pass empty at this image size
                 continue
-            rb = pw * bpp
+            rb = (pw * nch * depth + 7) // 8
             need = ph * (rb + 1)
             if off + need > len(raw):
                 raise ValueError("IDAT size mismatch")
             sub = _png_unfilter(raw[off : off + need], ph, rb, bpp)
             off += need
-            grid[y0:h:dy, x0:w:dx] = sub.reshape(ph, pw, bpp)
+            if depth < 8:
+                sub = _png_unpack_subbyte(sub, pw, depth)
+            grid[y0:h:dy, x0:w:dx] = sub.reshape(ph, pw, -1)
         if off != len(raw):
             raise ValueError("IDAT size mismatch")
     if depth == 16:  # big-endian sample pairs -> uint16
         pairs = flat.reshape(h, w, nch, 2).astype(np.uint16)
         img: np.ndarray = (pairs[..., 0] << 8) | pairs[..., 1]
+    elif depth < 8 and ct == 0:  # rescale to full range (255/(2^d - 1))
+        img = (flat * (255 // ((1 << depth) - 1))).reshape(h, w, 1)
     else:
         img = flat.reshape(h, w, nch)
     if ct == 3:  # palette -> RGB
@@ -1156,10 +1187,13 @@ def decode_tiff(b: bytes) -> np.ndarray:
     stdlib + numpy only: both byte orders, compression none (1) / LZW
     with early change (5) / Deflate (8, and old-style 32946) / PackBits
     (32773), horizontal-differencing predictor, photometric
-    white-is-zero / black-is-zero / RGB / palette. Tiled layouts (tags
-    322-325) assemble edge-cropped tiles with the predictor applied per
-    tile. Non-8-bit and other-compression TIFFs raise
-    UnsupportedMediaVariant; structural damage raises ValueError."""
+    white-is-zero / black-is-zero / RGB / palette, and BOTH
+    PlanarConfigurations (chunky=1 interleaved; planar=2 with each
+    component's strips/tiles stored contiguously, stacked after
+    per-plane reconstruction). Tiled layouts (tags 322-325) assemble
+    edge-cropped tiles with the predictor applied per tile. Non-8-bit
+    and other-compression TIFFs raise UnsupportedMediaVariant;
+    structural damage raises ValueError."""
     if b[:4] == b"II*\x00":
         bo = "little"
     elif b[:4] == b"MM\x00*":
@@ -1202,8 +1236,9 @@ def decode_tiff(b: bytes) -> np.ndarray:
             raise ValueError(f"TIFF missing tag {t}")
         return default
 
-    if tags.get(284, [1])[0] != 1:  # PlanarConfiguration 2 = per-plane strips
-        raise UnsupportedMediaVariant("planar TIFF")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):  # spec defines chunky=1, planar=2 only
+        raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
     w = tag1(256)
     h = tag1(257)
     spp = tag1(277, 1)
@@ -1242,6 +1277,11 @@ def decode_tiff(b: bytes) -> np.ndarray:
             return data[:expected]
         return _packbits_decode(raw, expected)
 
+    # planar=2 stores each component's segments contiguously (all of
+    # plane 0's strips/tiles, then plane 1's, ...): decode nplanes
+    # single-channel layouts and stack, instead of one spp-channel layout
+    nplanes = spp if (planar == 2 and spp > 1) else 1
+    cpp = spp // nplanes  # channels per stored segment
     if 322 in tags or 323 in tags:  # tiled layout
         tw = tag1(322)
         tl = tag1(323)
@@ -1253,32 +1293,48 @@ def decode_tiff(b: bytes) -> np.ndarray:
             raise ValueError("TIFF tiles missing")
         across = (w + tw - 1) // tw
         down = (h + tl - 1) // tl
-        if len(offsets) != across * down:
+        if len(offsets) != across * down * nplanes:
             raise ValueError("TIFF tile count mismatch")
         img = np.zeros((h, w, spp), dtype=np.uint8)
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
-            data = segment(off, cnt, tl * tw * spp)
-            tile = np.frombuffer(data, dtype=np.uint8).reshape(tl, tw, spp)
+            pidx, rem = divmod(ti, across * down)
+            data = segment(off, cnt, tl * tw * cpp)
+            tile = np.frombuffer(data, dtype=np.uint8).reshape(tl, tw, cpp)
             if predictor == 2:  # horizontal differencing, per tile row
                 tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
-            ty, tx = divmod(ti, across)
+            ty, tx = divmod(rem, across)
             y0, x0 = ty * tl, tx * tw
             nr, nc = min(tl, h - y0), min(tw, w - x0)
-            img[y0 : y0 + nr, x0 : x0 + nc] = tile[:nr, :nc]
+            img[
+                y0 : y0 + nr, x0 : x0 + nc, pidx * cpp : (pidx + 1) * cpp
+            ] = tile[:nr, :nc]
     else:
         offsets = tags.get(273)
         counts = tags.get(279)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF strips missing")
         rows_per_strip = tag1(278, h)
-        row_bytes = w * spp
-        out = bytearray()
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
-            nrows = min(rows_per_strip, h - si * rows_per_strip)
-            out += segment(off, cnt, nrows * row_bytes)
-        img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
-        if predictor == 2:  # horizontal differencing (strips span full rows)
-            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+        if rows_per_strip <= 0:
+            raise ValueError("bad TIFF RowsPerStrip")
+        spi = (h + rows_per_strip - 1) // rows_per_strip  # strips per plane
+        if len(offsets) != spi * nplanes:
+            raise ValueError("TIFF strip count mismatch")
+        plane_arrays = []
+        for p in range(nplanes):
+            out = bytearray()
+            for si in range(spi):
+                off, cnt = offsets[p * spi + si], counts[p * spi + si]
+                nrows = min(rows_per_strip, h - si * rows_per_strip)
+                out += segment(off, cnt, nrows * w * cpp)
+            arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, cpp)
+            if predictor == 2:  # horizontal differencing (full-width rows)
+                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+            plane_arrays.append(arr)
+        img = (
+            plane_arrays[0]
+            if nplanes == 1
+            else np.concatenate(plane_arrays, axis=2)
+        )
     if photometric == 3:  # palette: ColorMap is 16-bit per channel
         cm = tags.get(320)
         if not cm or len(cm) != 3 * 256 or spp != 1:

@@ -285,20 +285,30 @@ def encode_tiff(
         return raw
 
     strips = []
+    # PlanarConfiguration=2: all of plane 0's strips/tiles first, then
+    # plane 1's, ... (TIFF 6.0 §StripOffsets) — each segment single-channel
+    planes = (
+        [img[:, :, p : p + 1] for p in range(spp)]
+        if planar_config == 2 and spp > 1
+        else [img]
+    )
     if tile_size is not None:
         tl, tw = tile_size
-        padded = np.zeros(
-            (((h + tl - 1) // tl) * tl, ((w + tw - 1) // tw) * tw, spp),
-            dtype=np.uint8,
-        )
-        padded[:h, :w] = img
-        for y0 in range(0, padded.shape[0], tl):
-            for x0 in range(0, padded.shape[1], tw):
-                strips.append(pack(padded[y0 : y0 + tl, x0 : x0 + tw]))
+        for pl in planes:
+            c = pl.shape[2]
+            padded = np.zeros(
+                (((h + tl - 1) // tl) * tl, ((w + tw - 1) // tw) * tw, c),
+                dtype=np.uint8,
+            )
+            padded[:h, :w] = pl
+            for y0 in range(0, padded.shape[0], tl):
+                for x0 in range(0, padded.shape[1], tw):
+                    strips.append(pack(padded[y0 : y0 + tl, x0 : x0 + tw]))
     else:
         rps = rows_per_strip or h
-        for y0 in range(0, h, rps):
-            strips.append(pack(img[y0 : y0 + rps]))
+        for pl in planes:
+            for y0 in range(0, h, rps):
+                strips.append(pack(pl[y0 : y0 + rps]))
 
     def u16(v):
         return int(v).to_bytes(2, bo)

@@ -111,20 +111,42 @@ def _png_bytes(
 ) -> bytes:
     """Independent PNG encoder: applies the requested filter per scanline
     using the spec's FORWARD formulas (filtered = raw - predictor);
-    16-bit samples are written big-endian and Adam7 passes are extracted
-    and filtered independently per the spec's pass grids."""
+    16-bit samples are written big-endian, sub-byte (1/2/4) single-channel
+    samples are bit-packed MSB-first per row, and Adam7 passes are
+    extracted and filtered independently per the spec's pass grids."""
     h, w, nch = img.shape
+
+    def _pack(vals: np.ndarray, depth: int) -> np.ndarray:
+        bits = (vals[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+        # packbits zero-pads each row's tail to the byte boundary (spec §7.2)
+        return np.packbits(bits.reshape(vals.shape[0], -1), axis=1)
+
     ct = {1: 0, 2: 4, 3: 2, 4: 6}[nch] if color_type is None else color_type
     if bitdepth == 16:
         byts = np.ascontiguousarray(img.astype(">u2")).view(np.uint8)
         bpp = nch * 2
-    else:  # sub-byte depths only appear in header-reject tests: the body
-        # is written 8-bit because the decoder rejects on IHDR alone
+    elif bitdepth in (1, 2, 4) and nch == 1:
+        byts = None  # bit-packed per (sub-)image below
+        bpp = 1
+    else:  # 8-bit, or an ILLEGAL sub-byte multi-channel combo used by the
+        # header-reject tests (the decoder rejects on IHDR alone)
         byts = img.astype(np.uint8)
         bpp = nch
-    rows = byts.reshape(h, w * bpp).astype(np.int64)
-    if interlace == 1:
-        grid = rows.reshape(h, w, bpp)
+    if byts is None:
+        vals = img[:, :, 0]
+        if interlace == 1:
+            raw = b""
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                sub = vals[y0:h:dy, x0:w:dx]
+                if sub.size == 0:
+                    continue
+                raw += _png_filter_rows(
+                    _pack(sub, bitdepth).astype(np.int64), 1, filters
+                )
+        else:
+            raw = _png_filter_rows(_pack(vals, bitdepth).astype(np.int64), 1, filters)
+    elif interlace == 1:
+        grid = byts.reshape(h, w * bpp).astype(np.int64).reshape(h, w, bpp)
         raw = b""
         for x0, y0, dx, dy in _ADAM7_PASSES:
             sub = grid[y0:h:dy, x0:w:dx]
@@ -135,7 +157,7 @@ def _png_bytes(
                 np.ascontiguousarray(sub).reshape(ph, pw * bpp), bpp, filters
             )
     else:
-        raw = _png_filter_rows(rows, bpp, filters)
+        raw = _png_filter_rows(byts.reshape(h, w * bpp).astype(np.int64), bpp, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, ct, 0, 0, interlace)
     chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -267,11 +289,44 @@ def test_decode_png_16bit():
     assert pixels_to_uint8(u8) is u8
 
 
+def test_decode_png_subbyte():
+    """Bit-packed 1/2/4-bit scanlines roundtrip against the independent
+    encoder: grayscale rescales to the spec's full 0-255 range, palette
+    indexes resolve through PLTE; both interlace methods, all filters."""
+    rng = np.random.default_rng(41)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        # odd width so rows carry padding bits the decoder must drop
+        gray = rng.integers(0, 1 << depth, size=(7, 13, 1), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(_png_bytes(gray, bitdepth=depth, filters=filters))
+            assert got.shape == (7, 13, 1) and got.dtype == np.uint8
+            assert (got == gray * scale).all(), (depth, filters)
+        got = decode_png(
+            _png_bytes(gray, bitdepth=depth, interlace=1, filters=[0, 1, 2, 3, 4])
+        )
+        assert (got == gray * scale).all(), ("adam7", depth)
+        # palette: indexes stay raw (no rescale), expanded through PLTE
+        pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        idx = rng.integers(0, 1 << depth, size=(6, 11, 1), dtype=np.uint8)
+        got = decode_png(
+            _png_bytes(idx, bitdepth=depth, color_type=3, palette=pal, filters=[4])
+        )
+        assert (got == pal[idx[:, :, 0]]).all(), ("plte", depth)
+        got = decode_png(
+            _png_bytes(idx, bitdepth=depth, color_type=3, palette=pal, interlace=1)
+        )
+        assert (got == pal[idx[:, :, 0]]).all(), ("plte-adam7", depth)
+    # a 1x1 1-bit image: the degenerate packing case
+    one = np.array([[[1]]], dtype=np.uint8)
+    assert (decode_png(_png_bytes(one, bitdepth=1)) == 255).all()
+
+
 def test_decode_png_rejects():
     rng = np.random.default_rng(13)
     img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
-    with pytest.raises(UnsupportedMediaVariant):
-        decode_png(_png_bytes(img, bitdepth=4))  # bit-packed sub-byte depth
+    with pytest.raises(ValueError):
+        decode_png(_png_bytes(img, bitdepth=4))  # sub-byte RGB is illegal
     with pytest.raises(ValueError):
         decode_png(_png_bytes(img, interlace=2))  # no such interlace method
     # 16-bit palette is illegal per spec (palette depths are 1/2/4/8)
@@ -302,6 +357,8 @@ def test_decode_wav_kernel():
 def test_decode_media_distributed(spark):
     """Spark decode matches the driver-side kernels exactly; codec and
     corrupt payloads degrade to tagged rows instead of failing."""
+    from tests.media_encoders import encode_tiff
+
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
     png_img = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
@@ -313,7 +370,8 @@ def test_decode_media_distributed(spark):
         (3, "image", _png_bytes(png_img, filters=[0, 1, 2, 3, 4]), {}),
         (4, "image", b"P6\n2 2\n255\n\x00", {}),  # truncated: corrupt
         (5, "image", None, {}),
-        (6, "image", _png_bytes(img, bitdepth=4), {}),  # unsupported variant
+        (6, "image", encode_tiff(img, compression=7), {}),  # unsupported
+        # (JPEG-in-TIFF: recognized container, out-of-scope compression)
         (7, "image", b"\x89PNG\r\n\x1a\n garbage chunks", {}),  # corrupt
         (8, "audio", _wav_bytes(np.zeros((0, 1), dtype=np.int16)), {}),  # 0 frames
         (9, "image", _png_bytes(img16, bitdepth=16, filters=[2, 4]), {}),
@@ -801,20 +859,40 @@ def test_decode_media_never_raises_on_garbage():
         assert isinstance(fmt, str), i
 
 
-def test_decode_tiff_planar_unsupported():
-    """PlanarConfiguration=2 (per-plane strips) is recognized and
-    rejected as a variant — not misread as corrupt or scrambled."""
-    from cleanvision_spark.operators.multimodal import (
-        UnsupportedMediaVariant,
-        decode_tiff,
-    )
+def test_decode_tiff_planar():
+    """PlanarConfiguration=2 (each component's strips/tiles stored
+    contiguously) roundtrips against the independent encoder — strips,
+    multi-strip, predictor, compression, tiles, both byte orders."""
+    from cleanvision_spark.operators.multimodal import decode_tiff
     from tests.media_encoders import encode_tiff
 
-    img = np.zeros((4, 4, 3), dtype=np.uint8)
-    with pytest.raises(UnsupportedMediaVariant):
-        decode_tiff(encode_tiff(img, planar_config=2))
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(img, planar_config=2)) == img).all()
     # explicit chunky tag stays decodable
     assert (decode_tiff(encode_tiff(img, planar_config=1)) == img).all()
+    # multi-strip planes: 9 rows / rps 4 -> 3 strips per plane, 9 total
+    got = decode_tiff(encode_tiff(img, planar_config=2, rows_per_strip=4))
+    assert (got == img).all()
+    # per-plane horizontal differencing + LZW + big-endian
+    got = decode_tiff(
+        encode_tiff(
+            img,
+            planar_config=2,
+            predictor=2,
+            compression=5,
+            rows_per_strip=3,
+            big_endian=True,
+        )
+    )
+    assert (got == img).all()
+    # planar TILED layout: plane-major tile order, edge cropping
+    big = rng.integers(0, 256, size=(20, 35, 3), dtype=np.uint8)
+    got = decode_tiff(
+        encode_tiff(big, planar_config=2, tile_size=(16, 16), predictor=2)
+    )
+    assert (got == big).all()
+
 
 
 def test_decode_gif_background_index():
