@@ -113,7 +113,7 @@ def _decode_image(b: bytes | None) -> tuple[str, np.ndarray | None]:
             from cleanvision_spark.operators.multimodal import decode_tiff
 
             try:
-                return "tiff", decode_tiff(b)
+                return "tiff", pixels_to_uint8(decode_tiff(b))
             except UnsupportedMediaVariant:
                 return "unsupported", None
         if b[:4] == b"RIFF" and b[8:12] == b"WEBP":

@@ -17,7 +17,7 @@ Decode coverage is format-tiered:
   sample rate / duration / RMS — all computed distributed inside
   mapInPandas.
 - Valid-but-out-of-scope variants (arithmetic/12-bit/lossless JPEG,
-  non-8-bit TIFF, non-MJPEG video containers) decode to
+  non-MJPEG video containers) decode to
   ``format='unsupported'`` rows rather than failing the job — at
   100 TB a poison payload must never kill a stage.
 
@@ -1183,16 +1183,20 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def decode_tiff(b: bytes) -> np.ndarray:
-    """Decode a strip- or tile-based 8-bit TIFF to (h, w, c) uint8 with
-    stdlib + numpy only: both byte orders, compression none (1) / LZW
-    with early change (5) / Deflate (8, and old-style 32946) / PackBits
-    (32773), horizontal-differencing predictor, photometric
-    white-is-zero / black-is-zero / RGB / palette, and BOTH
+    """Decode a strip- or tile-based TIFF to (h, w, c) uint8 — or uint16
+    for 16-bit samples (callers normalize via :func:`pixels_to_uint8`) —
+    with stdlib + numpy only: both byte orders, compression none (1) /
+    LZW with early change (5) / Deflate (8, and old-style 32946) /
+    PackBits (32773), horizontal-differencing predictor, photometric
+    white-is-zero / black-is-zero / RGB / palette, BOTH
     PlanarConfigurations (chunky=1 interleaved; planar=2 with each
     component's strips/tiles stored contiguously, stacked after
-    per-plane reconstruction). Tiled layouts (tags 322-325) assemble
-    edge-cropped tiles with the predictor applied per tile. Non-8-bit
-    and other-compression TIFFs raise UnsupportedMediaVariant;
+    per-plane reconstruction), and bit depths 1/2/4 (bit-packed
+    MSB-first, byte-aligned rows; grayscale rescaled to 0-255 as in
+    PNG) / 8 / 16 (file byte order; predictor accumulates mod 2^16).
+    Tiled layouts (tags 322-325) assemble edge-cropped tiles with the
+    predictor applied per tile. Other-compression / mixed-depth /
+    sub-byte-multi-sample TIFFs raise UnsupportedMediaVariant;
     structural damage raises ValueError."""
     if b[:4] == b"II*\x00":
         bo = "little"
@@ -1243,8 +1247,11 @@ def decode_tiff(b: bytes) -> np.ndarray:
     h = tag1(257)
     spp = tag1(277, 1)
     bps = tags.get(258, [8] * spp)
-    if any(x != 8 for x in bps):
-        raise UnsupportedMediaVariant("non-8-bit TIFF")
+    if len(set(bps)) != 1:
+        raise UnsupportedMediaVariant(f"mixed TIFF bits-per-sample {bps}")
+    depth = bps[0]
+    if depth not in (1, 2, 4, 8, 16):
+        raise UnsupportedMediaVariant(f"TIFF bits-per-sample {depth}")
     comp = tag1(259, 1)
     if comp not in (1, 5, 8, 32946, 32773):
         raise UnsupportedMediaVariant(f"TIFF compression {comp}")
@@ -1252,8 +1259,42 @@ def decode_tiff(b: bytes) -> np.ndarray:
     predictor = tag1(317, 1)
     if predictor not in (1, 2):
         raise UnsupportedMediaVariant(f"TIFF predictor {predictor}")
+    if depth < 8:
+        if spp != 1:  # spec-legal but vanishingly rare: quarantine
+            raise UnsupportedMediaVariant("sub-byte multi-sample TIFF")
+        if predictor == 2:
+            raise UnsupportedMediaVariant("predictor on sub-byte TIFF")
+    if depth == 16 and photometric == 3:
+        raise ValueError("16-bit palette TIFF")  # palette depths are 4/8
     if w == 0 or h == 0:
         raise ValueError("empty TIFF")
+    sdt = np.dtype(">u2" if bo == "big" else "<u2")
+    stype = np.uint16 if depth == 16 else np.uint8
+
+    def rowbytes(width: int, channels: int) -> int:
+        # each row starts on a byte boundary (TIFF 6.0: row bit counts
+        # are padded out to full bytes)
+        return (width * channels * depth + 7) // 8
+
+    def samples(data: bytes, nrows: int, width: int, channels: int) -> np.ndarray:
+        """(nrows, width, channels) sample array from byte-aligned rows,
+        honoring the file byte order for 16-bit and MSB-first bit
+        packing for sub-byte depths."""
+        flat = np.frombuffer(data, dtype=np.uint8).reshape(
+            nrows, rowbytes(width, channels)
+        )
+        if depth == 8:
+            return flat.reshape(nrows, width, channels)
+        if depth == 16:
+            return flat.view(sdt).astype(np.uint16).reshape(nrows, width, channels)
+        return _png_unpack_subbyte(flat, width, depth).reshape(nrows, width, 1)
+
+    def hdiff(arr: np.ndarray) -> np.ndarray:
+        # horizontal-differencing predictor accumulates in the SAMPLE
+        # domain (mod 2^depth), per channel along the row
+        return (np.cumsum(arr.astype(np.int64), axis=1) & ((1 << depth) - 1)).astype(
+            stype
+        )
 
     def segment(off: int, cnt: int, expected: int) -> bytes:
         if off + cnt > len(b):
@@ -1295,13 +1336,13 @@ def decode_tiff(b: bytes) -> np.ndarray:
         down = (h + tl - 1) // tl
         if len(offsets) != across * down * nplanes:
             raise ValueError("TIFF tile count mismatch")
-        img = np.zeros((h, w, spp), dtype=np.uint8)
+        img = np.zeros((h, w, spp), dtype=stype)
         for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             pidx, rem = divmod(ti, across * down)
-            data = segment(off, cnt, tl * tw * cpp)
-            tile = np.frombuffer(data, dtype=np.uint8).reshape(tl, tw, cpp)
+            data = segment(off, cnt, tl * rowbytes(tw, cpp))
+            tile = samples(data, tl, tw, cpp)
             if predictor == 2:  # horizontal differencing, per tile row
-                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+                tile = hdiff(tile)
             ty, tx = divmod(rem, across)
             y0, x0 = ty * tl, tx * tw
             nr, nc = min(tl, h - y0), min(tw, w - x0)
@@ -1325,10 +1366,10 @@ def decode_tiff(b: bytes) -> np.ndarray:
             for si in range(spi):
                 off, cnt = offsets[p * spi + si], counts[p * spi + si]
                 nrows = min(rows_per_strip, h - si * rows_per_strip)
-                out += segment(off, cnt, nrows * w * cpp)
-            arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, cpp)
+                out += segment(off, cnt, nrows * rowbytes(w, cpp))
+            arr = samples(bytes(out), h, w, cpp)
             if predictor == 2:  # horizontal differencing (full-width rows)
-                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+                arr = hdiff(arr)
             plane_arrays.append(arr)
         img = (
             plane_arrays[0]
@@ -1343,8 +1384,11 @@ def decode_tiff(b: bytes) -> np.ndarray:
         if int(img.max()) >= len(pal):
             raise ValueError("TIFF palette index out of range")
         return pal[img[:, :, 0]]
-    if photometric == 0:  # white-is-zero
-        img = 255 - img
+    maxval = (1 << depth) - 1
+    if photometric == 0:  # white-is-zero: invert at the native depth
+        img = (maxval - img).astype(stype)
+    if depth < 8:  # rescale grayscale to the full 0-255 range (as PNG)
+        img = (img * (255 // maxval)).astype(np.uint8)
     return img
 
 
@@ -1512,7 +1556,9 @@ def _decode_one(media_id: int, b: bytes | None, thumb_size: int) -> dict:
         elif fmt in ("jpeg", "gif", "tiff"):
             decoder = {"jpeg": decode_jpeg, "gif": decode_gif, "tiff": decode_tiff}
             try:
-                img = decoder[fmt](b)
+                # 16-bit TIFF comes back uint16; keep the high byte (no-op
+                # for the uint8 formats)
+                img = pixels_to_uint8(decoder[fmt](b))
             except UnsupportedMediaVariant:
                 rec.update(format="unsupported")
             else:

@@ -257,11 +257,15 @@ def encode_tiff(
     photometric: int | None = None,
     planar_config: int | None = None,
     tile_size: tuple[int, int] | None = None,
+    bitdepth: int = 8,
 ) -> bytes:
-    """Strip- or tile-based 8-bit TIFF bytes for (h, w, c) uint8 (or
+    """Strip- or tile-based TIFF bytes for (h, w, c) samples (or
     (h, w, 1) indices with ``palette``). compression: 1=none, 5=LZW,
     8=Deflate, 32773=PackBits. tile_size=(tile_len, tile_w) switches to
-    the tiled layout (tags 322-325; both must be multiples of 16)."""
+    the tiled layout (tags 322-325; both must be multiples of 16).
+    bitdepth 16 writes uint16 samples in the file's byte order;
+    bitdepth 1/2/4 bit-packs single-channel samples MSB-first with each
+    row padded to a byte boundary (TIFF 6.0 §Image File Directory)."""
     h, w, spp = img.shape
     bo = "big" if big_endian else "little"
     if photometric is None:
@@ -271,9 +275,15 @@ def encode_tiff(
         if predictor == 2:
             d = rows.astype(np.int64)
             d = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1)
-            raw = (d % 256).astype(np.uint8).tobytes()
-        else:
-            raw = rows.tobytes()
+            rows = d % (1 << bitdepth)  # predictor diffs in SAMPLE domain
+        if bitdepth == 16:
+            raw = rows.astype(">u2" if big_endian else "<u2").tobytes()
+        elif bitdepth == 8:
+            raw = rows.astype(np.uint8).tobytes()
+        else:  # sub-byte single-channel: MSB-first bits, byte-padded rows
+            vals = rows.reshape(rows.shape[0], -1).astype(np.uint8)
+            bits = (vals[:, :, None] >> np.arange(bitdepth - 1, -1, -1)) & 1
+            raw = np.packbits(bits.reshape(vals.shape[0], -1), axis=1).tobytes()
         if compression == 5:
             return _tiff_lzw_compress(raw)
         if compression == 8:
@@ -298,7 +308,7 @@ def encode_tiff(
             c = pl.shape[2]
             padded = np.zeros(
                 (((h + tl - 1) // tl) * tl, ((w + tw - 1) // tw) * tw, c),
-                dtype=np.uint8,
+                dtype=img.dtype,
             )
             padded[:h, :w] = pl
             for y0 in range(0, padded.shape[0], tl):
@@ -325,7 +335,7 @@ def encode_tiff(
 
     entry(256, 3, 1, [w])
     entry(257, 3, 1, [h])
-    entry(258, 3, spp, [8] * spp)
+    entry(258, 3, spp, [bitdepth] * spp)
     entry(259, 3, 1, [compression])
     entry(262, 3, 1, [photometric])
     entry(277, 3, 1, [spp])

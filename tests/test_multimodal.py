@@ -738,6 +738,13 @@ def test_decode_tiff_rejects():
             + (1).to_bytes(4, "little") + (1).to_bytes(2, "little"),
             (259).to_bytes(2, "little") + (3).to_bytes(2, "little")
             + (1).to_bytes(4, "little") + (7).to_bytes(2, "little"), 1))
+    # sub-byte depths are decoded for single-sample images only; the
+    # multi-sample and predictor combinations stay quarantined
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_tiff(encode_tiff(img, bitdepth=4))  # spp=3 sub-byte
+    g = np.zeros((4, 4, 1), dtype=np.uint8)
+    with pytest.raises(UnsupportedMediaVariant):
+        decode_tiff(encode_tiff(g, bitdepth=4, predictor=2))
 
 
 def test_decode_media_gif_tiff(spark):
@@ -892,6 +899,82 @@ def test_decode_tiff_planar():
         encode_tiff(big, planar_config=2, tile_size=(16, 16), predictor=2)
     )
     assert (got == big).all()
+
+
+def test_decode_tiff_16bit():
+    """16-bit samples roundtrip bit-exact in BOTH byte orders, with the
+    predictor accumulating mod 2^16 per sample, across strips/tiles/
+    planar layouts and compressions; pixels_to_uint8 keeps the high
+    byte."""
+    from cleanvision_spark.operators.multimodal import (
+        decode_tiff,
+        pixels_to_uint8,
+    )
+    from tests.media_encoders import encode_tiff
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 1 << 16, size=(9, 7, 3), dtype=np.uint16)
+    for be in (False, True):
+        for pred in (1, 2):
+            got = decode_tiff(
+                encode_tiff(img, bitdepth=16, big_endian=be, predictor=pred)
+            )
+            assert got.dtype == np.uint16 and (got == img).all(), (be, pred)
+    assert (pixels_to_uint8(got) == (img >> 8)).all()
+    # compressed multi-strip + planar + tiled
+    got = decode_tiff(
+        encode_tiff(img, bitdepth=16, compression=5, rows_per_strip=4, predictor=2)
+    )
+    assert (got == img).all()
+    got = decode_tiff(encode_tiff(img, bitdepth=16, compression=8, planar_config=2))
+    assert (got == img).all()
+    big = rng.integers(0, 1 << 16, size=(20, 35, 3), dtype=np.uint16)
+    got = decode_tiff(
+        encode_tiff(big, bitdepth=16, tile_size=(16, 16), predictor=2, big_endian=True)
+    )
+    assert (got == big).all()
+    # 16-bit grayscale white-is-zero inverts at the native depth
+    g = rng.integers(0, 1 << 16, size=(5, 6, 1), dtype=np.uint16)
+    got = decode_tiff(encode_tiff(g, bitdepth=16, photometric=0))
+    assert (got == 65535 - g).all()
+
+
+def test_decode_tiff_subbyte():
+    """1/2/4-bit bit-packed TIFF: byte-aligned rows, MSB-first samples;
+    grayscale rescales to the full 0-255 range, white-is-zero inverts at
+    the native depth, palette indexes resolve through ColorMap."""
+    from cleanvision_spark.operators.multimodal import decode_tiff
+    from tests.media_encoders import encode_tiff
+
+    rng = np.random.default_rng(37)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        # odd width -> padding bits at every row tail
+        g = rng.integers(0, 1 << depth, size=(7, 13, 1), dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            got = decode_tiff(encode_tiff(g, bitdepth=depth, compression=comp))
+            assert got.shape == (7, 13, 1) and (got == g * scale).all(), (
+                depth,
+                comp,
+            )
+        # white-is-zero: invert BEFORE rescale
+        got = decode_tiff(encode_tiff(g, bitdepth=depth, photometric=0))
+        assert (got == ((1 << depth) - 1 - g) * scale).all(), depth
+        # multi-strip + big-endian (byte order is irrelevant below 9 bits
+        # but the header must still parse)
+        got = decode_tiff(
+            encode_tiff(g, bitdepth=depth, rows_per_strip=3, big_endian=True)
+        )
+        assert (got == g * scale).all(), depth
+        # palette: indexes stay raw, expanded through the ColorMap
+        pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        idx = rng.integers(0, 1 << depth, size=(6, 11, 1), dtype=np.uint8)
+        got = decode_tiff(encode_tiff(idx, bitdepth=depth, palette=pal))
+        assert (got == pal[idx[:, :, 0]]).all(), depth
+    # tiled 4-bit grayscale with edge cropping
+    big = rng.integers(0, 16, size=(20, 35, 1), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(big, bitdepth=4, tile_size=(16, 16)))
+    assert (got == big * 17).all()
 
 
 
