@@ -9,9 +9,15 @@ import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from cleanvision_spark.operators.multimodal import decode_gif, decode_jpeg, decode_tiff
+from cleanvision_spark.operators.multimodal import (
+    decode_gif,
+    decode_jpeg,
+    decode_png,
+    decode_tiff,
+)
 from tests.jpeg_encoder import encode_jpeg, encode_jpeg_progressive
 from tests.media_encoders import encode_gif, encode_tiff
+from tests.test_multimodal import _png_bytes
 
 _SETTINGS = dict(
     max_examples=25,
@@ -100,3 +106,85 @@ def test_tiff_roundtrip(img, big_endian, compression, predictor, rps):
         )
     )
     assert (got == img).all()
+
+
+# every spec-legal PNG (color type, bit depth) pair — Table 11.1
+_PNG_LEGAL = (
+    [(0, d) for d in (1, 2, 4, 8, 16)]
+    + [(3, d) for d in (1, 2, 4, 8)]
+    + [(ct, d) for ct in (2, 4, 6) for d in (8, 16)]
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    hw=st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    ctd=st.sampled_from(_PNG_LEGAL),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+    filters=st.sampled_from([[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]),
+)
+def test_png_roundtrip(hw, ctd, seed, interlace, filters):
+    ct, depth = ctd
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    maxv = (1 << depth) - 1
+    kw = dict(
+        bitdepth=depth, color_type=ct, interlace=int(interlace), filters=filters
+    )
+    if ct == 3:
+        pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+        img = rng.integers(0, len(pal), size=(h, w, 1), dtype=np.uint8)
+        expected = pal[img[:, :, 0]]
+        b = _png_bytes(img, palette=pal, **kw)
+    elif depth == 16:
+        img = rng.integers(0, 1 << 16, size=(h, w, nch), dtype=np.uint16)
+        expected = img
+        b = _png_bytes(img, **kw)
+    elif depth < 8:  # grayscale only per spec; rescaled to 0-255
+        img = rng.integers(0, maxv + 1, size=(h, w, 1), dtype=np.uint8)
+        expected = img * (255 // maxv)
+        b = _png_bytes(img, **kw)
+    else:
+        img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        expected = img
+        b = _png_bytes(img, **kw)
+    got = decode_png(b)
+    assert got.shape == expected.shape and (got == expected).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    hw=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+    depth=st.sampled_from([1, 2, 4, 16]),
+    seed=st.integers(0, 2**31 - 1),
+    big_endian=st.booleans(),
+    compression=st.sampled_from([1, 5, 32773]),
+    planar=st.booleans(),
+    rps=st.sampled_from([None, 3]),
+)
+def test_tiff_depth_roundtrip(hw, depth, seed, big_endian, compression, planar, rps):
+    """Non-8-bit TIFF: 16-bit RGB (both byte orders, chunky+planar) and
+    bit-packed sub-byte grayscale (rescaled to 0-255 as PNG does)."""
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    if depth == 16:
+        img = rng.integers(0, 1 << 16, size=(h, w, 3), dtype=np.uint16)
+        expected = img
+        pc = 2 if planar else None
+    else:
+        img = rng.integers(0, 1 << depth, size=(h, w, 1), dtype=np.uint8)
+        expected = img * (255 // ((1 << depth) - 1))
+        pc = None
+    got = decode_tiff(
+        encode_tiff(
+            img,
+            bitdepth=depth,
+            big_endian=big_endian,
+            compression=compression,
+            planar_config=pc,
+            rows_per_strip=rps,
+        )
+    )
+    assert got.shape == expected.shape and (got == expected).all()
