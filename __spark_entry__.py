@@ -92,6 +92,7 @@ EXPECTED_FILES = {
     "corpus_build_minhash": "corpus_build_minhash",
     "ann_lsh_topk": "ann_lsh_indexed_topk",
     "ann_ivf_topk": "ann_ivf_indexed_topk",
+    "ann_pq_topk": "ann_pq_topk",
 }
 EXPECTED_QUERIES = list(EXPECTED_FILES)
 
@@ -1051,6 +1052,20 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC scoring over (id, code) only —
+    pure JVM lookup-table fold, no vector reads in the scan — then an
+    exact cosine rerank of the broadcast shortlist. m=16/ks=16/rerank=8
+    is the recall-floor-tested worst-case config (>=0.8 on random
+    near-orthogonal data; tests/test_ann_textqc.py)."""
+    from cleanvision_spark.operators.ann import pq_fit, pq_index, pq_topk
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_fit(emb, m=16, ks=16, sample=512)
+    return pq_topk(pq_index(emb, cb), cb, _query_vec(spark, sf_dir), k=10, rerank=8)
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1507,6 +1522,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "embedding_norms": _q_embedding_norms,
         "exact_dup_normalized_hash": _q_exact_dup_normalized_hash,
         "text_properties": _q_text_properties,

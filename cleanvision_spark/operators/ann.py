@@ -95,27 +95,15 @@ def lsh_buckets_udf(vec: pd.Series) -> pd.Series:
     return pd.Series(signs_for(mat).tolist())
 
 
-def ivf_fit(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 16,
-    sample: int = 1024,
-    iters: int = 10,
-    seed: int = ANN_SEED,
+def _hash_slice_sample(
+    df: DataFrame, vec_col: str, id_col: str, sample: int
 ) -> np.ndarray:
-    """Deterministic IVF coarse quantizer: k-means on a driver-side
-    sample, seeded init, fixed iteration count. Returns (k, dim)
-    centroids to broadcast.
-
-    The sample is the ``sample`` rows with the smallest xxhash64(id) —
-    a deterministic hash-slice: uniform pseudo-random (unbiased by
-    ingest/id order, unlike a head-by-id slice), identical at any
-    parallelism, and planned as TakeOrderedAndProject over the 8-byte
-    hash (per-partition heaps of ``sample`` entries; only ~sample rows
-    ever shuffle). k-means on <=O(100k) sampled vectors is driver-side
-    numpy by design (centroid fitting is not the distributed
-    bottleneck)."""
+    """(n, dim) sample matrix: the ``sample`` rows with the smallest
+    xxhash64(id) — a deterministic hash-slice: uniform pseudo-random
+    (unbiased by ingest/id order, unlike a head-by-id slice), identical
+    at any parallelism, and planned as TakeOrderedAndProject over the
+    8-byte hash (per-partition heaps of ``sample`` entries; only
+    ~sample rows ever shuffle)."""
     rows = (
         df.select(
             F.xxhash64(F.col(id_col)).alias("_h"),
@@ -127,8 +115,15 @@ def ivf_fit(
         .select(vec_col)
         .collect()
     )
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def _kmeans(
+    mat: np.ndarray, k: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Seeded, fixed-iteration Lloyd's k-means (driver-side numpy by
+    design — quantizer fitting on a bounded sample is not the
+    distributed bottleneck)."""
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
     for _ in range(iters):
         d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -138,6 +133,22 @@ def ivf_fit(
             if len(members):
                 centroids[c] = members.mean(axis=0)
     return centroids
+
+
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    sample: int = 1024,
+    iters: int = 10,
+    seed: int = ANN_SEED,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on a driver-side
+    hash-slice sample (see :func:`_hash_slice_sample`), seeded init,
+    fixed iteration count. Returns (k, dim) centroids to broadcast."""
+    mat = _hash_slice_sample(df, vec_col, id_col, sample)
+    return _kmeans(mat, k, iters, np.random.default_rng(seed))
 
 
 def ivf_assign_udf(centroids: np.ndarray):
@@ -287,3 +298,134 @@ def lsh_topk(
         F.arrays_overlap(F.col("_b"), F.array(*[F.lit(b) for b in probes]))
     )
     return brute_force_topk(cand.drop("_b"), query_vec, k, id_col, vec_col)
+
+
+# --- product quantization (PQ) ---------------------------------------------
+# The memory-for-recall scale path past IVF/LSH: each L2-normalized
+# vector is split into m subspaces and each subspace replaced by the id
+# of its nearest sub-codebook centroid — m small ints per vector instead
+# of dim floats (64x compression at m=8/ks=16 over 64 float32 dims).
+# Query-time scoring is ADC (asymmetric distance computation): cosine
+# against a normalized query decomposes into a sum of per-subspace dot
+# products, each a lookup in an (m, ks) table built once per query — so
+# the scan never touches the original vectors, and an exact rerank of
+# the small ADC shortlist restores near-exact recall. Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 1024,
+    iters: int = 10,
+    seed: int = ANN_SEED,
+) -> np.ndarray:
+    """Deterministic PQ codebooks: per-subspace k-means on the same
+    hash-slice sample as :func:`ivf_fit`, fitted on L2-NORMALIZED
+    vectors (so ADC inner products against a normalized query rank by
+    cosine). Returns (m, ks, dim/m) sub-codebooks to broadcast; dim
+    must divide evenly by ``m``."""
+    mat = _normalize_rows(_hash_slice_sample(df, vec_col, id_col, sample))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        cent = _kmeans(mat[:, j * dsub : (j + 1) * dsub], ks, iters, rng)
+        codebooks[j, : len(cent)] = cent
+    return codebooks
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Pandas UDF encoding vectors to their m nearest-sub-centroid ids
+    (array<int>). The few-KB codebook rides the UDF closure (the
+    pickled-once equivalent of a broadcast variable)."""
+    cb = codebooks.copy()
+    m, _, dsub = cb.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vec: pd.Series) -> pd.Series:
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        if mat.ndim != 2:
+            return pd.Series([[0] * m] * len(vec))
+        mat = _normalize_rows(mat)
+        codes = np.zeros((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(codes.tolist())
+
+    return enc
+
+
+def pq_index(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable PQ index: source rows + their m-byte ``code``.
+    At 10^12 rows the codes column is what the scan reads (m ints vs
+    dim floats — the ADC shortlist never touches ``vec_col``); keeping
+    the vector column in the stored index enables the exact rerank."""
+    return df.withColumn("code", pq_encode_udf(codebooks)(F.col(vec_col)))
+
+
+def pq_topk(
+    index_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_df: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k over a :func:`pq_index` table: the per-query (m, ks)
+    lookup table becomes a LITERAL nested array and the row score is
+    ``aggregate(zip_with(code, lut, (c, row) -> row[c+1]))`` — pure
+    JVM codegen, zero Python in the scan, and the scan reads ONLY
+    (id, code): at 10^12 rows that is m small ints per row instead of
+    dim floats. The ADC shortlist of ``k*rerank`` ids
+    (TakeOrderedAndProject: per-partition heaps, no global sort) is
+    broadcast-joined back to the vector column — ``vec_df`` when the
+    stored index dropped it, else ``index_df`` — and exactly reranked
+    by cosine. recall@10 floor asserted in tests/test_ann_textqc.py."""
+    q = _normalize_rows(np.array([query_vec], dtype=np.float64))[0]
+    m, _, dsub = codebooks.shape
+    # lut[j][c] = <q_j, codebook[j][c]> : ADC decomposition of the
+    # normalized-space inner product (= cosine up to the row norm)
+    lut = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("code"), lut_col, lambda c, row: F.element_at(row, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    shortlist = (
+        index_df.select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(k * rerank)
+        .select(id_col)
+    )
+    src = vec_df if vec_df is not None else index_df
+    cand = src.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -605,6 +605,61 @@ def exp_ann_ivf_indexed_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
     return _topk(cands, qv, 10), ANN_SCHEMA
 
 
+def exp_ann_pq_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
+    """pq_fit/pq_index/pq_topk replica (m=16, ks=16, sample=512,
+    rerank=8): per-subspace Lloyd's k-means on the normalized 512-row
+    hash-slice sample (ONE rng, subspaces fitted sequentially), encode
+    all normalized vectors, ADC = sequential left-fold of lut lookups
+    (matching Spark's aggregate fold order), shortlist top-80 by
+    (-adc, id), exact-cosine rerank."""
+    m, ks, sample_n, rerank, k = 16, 16, 512, 8, 10
+    e = embeddings_pdf(con)
+    vecs = [(int(i), list(v)) for i, v in zip(e["vec_id"], e["embedding"])]
+    qv = [float(v) for v in dict(vecs)[0]]
+
+    def normalize(mat: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
+
+    order = sorted(vecs, key=lambda t: (xxhash64_long(t[0]), t[0]))[:sample_n]
+    mat = normalize(np.array([v for _, v in order], dtype=np.float64))
+    dsub = mat.shape[1] // m
+    rng = np.random.default_rng(ANN_SEED)
+    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ks, len(sub)), replace=False)]
+        for _ in range(10):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for ci in range(len(cent)):
+                members = sub[assign == ci]
+                if len(members):
+                    cent[ci] = members.mean(axis=0)
+        codebooks[j, : len(cent)] = cent
+    all_mat = normalize(np.array([v for _, v in vecs], dtype=np.float64))
+    codes = np.zeros((len(all_mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = all_mat[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    q = normalize(np.array([qv], dtype=np.float64))[0]
+    lut = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    scored = []
+    for (vid, _), code in zip(vecs, codes):
+        adc = 0.0  # sequential left fold, as Spark's aggregate evaluates
+        for j in range(m):
+            adc += float(lut[j][code[j]])
+        scored.append((vid, adc))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    shortlist = {vid for vid, _ in scored[: k * rerank]}
+    cands = [(vid, vec) for vid, vec in vecs if vid in shortlist]
+    return _topk(cands, qv, k), ANN_SCHEMA
+
+
 def exp_dedup_simhash(con) -> tuple[pd.DataFrame, pa.Schema]:
     d = docs_pdf(con)
     h = {int(i): to_i64(simhash64(t)) for i, t in zip(d["doc_id"], d["text"])}
@@ -833,6 +888,7 @@ BUILDERS = {
     "dedup_embedding_lsh": exp_dedup_embedding_lsh,
     "corpus_build_minhash": exp_corpus_build_minhash,
     "corpus_build_media": exp_corpus_build_media,
+    "ann_pq_topk": exp_ann_pq_topk,
 }
 
 # extra queries whose expected output equals another query's file
