@@ -336,9 +336,13 @@ def scaling_child(cores: int, replicate: int) -> None:
     out: dict = {"cores": cores}
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # partition count sized for the DATA and IDENTICAL at both
-    # parallelism levels (the fair-comparison requirement); shuffle
+    # parallelism levels (the fair-comparison requirement): the floor
+    # uses the PAIR'S HIGH core count (passed down by scaling()), not
+    # this leg's — otherwise small inputs give the two legs different
+    # partitioning and the ratio compares two different plans; shuffle
     # partitions follow it, AQE coalesces whatever is oversplit
-    parts = _parts(cores, docs0.count() * replicate)
+    pair_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", cores))
+    parts = _parts(max(cores, pair_hi), docs0.count() * replicate)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     out["parts"] = parts
     if "pipeline" in jobs:
@@ -425,7 +429,13 @@ def scaling() -> None:
     # overrides both legs explicitly.
     mem_per_core = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "4"))
     for cores in (lo, hi) * runs:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            # both legs size partitions off the pair's high level so the
+            # ratio compares the SAME plan at two parallelism levels
+            SPARK_GRAFT_SCALE_HI=str(hi),
+        )
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{mem_per_core * cores}g")
         # taskset confines the WHOLE process tree (JVM GC/compiler threads
         # included) to `cores` host CPUs — without it, local[2] borrows

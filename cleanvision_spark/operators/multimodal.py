@@ -1376,11 +1376,15 @@ def decode_tiff(b: bytes) -> np.ndarray:
             if nplanes == 1
             else np.concatenate(plane_arrays, axis=2)
         )
-    if photometric == 3:  # palette: ColorMap is 16-bit per channel
+    if photometric == 3:  # palette: ColorMap is 16-bit per channel,
+        # 3 * 2^BitsPerSample entries (TIFF 6.0 §ColorMap)
         cm = tags.get(320)
-        if not cm or len(cm) != 3 * 256 or spp != 1:
+        ncolors = 1 << depth
+        if not cm or len(cm) != 3 * ncolors or spp != 1:
             raise ValueError("TIFF palette missing")
-        pal = (np.array(cm, dtype=np.int64).reshape(3, 256).T >> 8).astype(np.uint8)
+        pal = (np.array(cm, dtype=np.int64).reshape(3, ncolors).T >> 8).astype(
+            np.uint8
+        )
         if int(img.max()) >= len(pal):
             raise ValueError("TIFF palette index out of range")
         return pal[img[:, :, 0]]

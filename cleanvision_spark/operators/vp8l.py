@@ -12,7 +12,12 @@ order.
 Reference parity: cleanvision accepts .webp via PIL
 (/root/reference/src/cleanvision/utils/constants.py:22-38); this gives
 the engine real pixel decode for the lossless half of that format with
-no native dependency (lossy VP8 stays tagged 'unsupported').
+no native dependency. Lossy VP8 / animation-only containers (and VP8L
+images beyond the per-row decode budget) raise LookupError, which the
+callers keep as a recognized 'webp' row with header dimensions and
+null pixel stats; a structurally damaged VP8L bitstream raises
+ValueError, which the callers degrade the same way — the CONTAINER is
+still identified, so the row is never a bare 'corrupt'.
 
 The 2D distance map is GENERATED from the spec's ordering rule (sort
 the (dx in [-7,8], dy in [0,7], dy>0 or dx>0) neighborhood by squared
@@ -583,6 +588,14 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    # Poison guard: the decode loop is O(w*h) pure Python and allocates
+    # w*h list entries BEFORE any pixel data is validated, so a <100-byte
+    # payload legally declaring 16384x16384 (the 14-bit max) would pin
+    # ~2 GB and ~10 minutes of executor time. Cap at 4.2M pixels (2048^2
+    # — covers typical web images); larger valid files degrade to the
+    # same header-dims-only row as lossy VP8 rather than killing a stage.
+    if w * h > (1 << 22):
+        raise LookupError(f"VP8L {w}x{h} beyond the per-row decode budget")
     argb, transforms, _ = _decode_image_stream(br, w, h, True)
     # inverse transforms in reverse read order; each transform stored the
     # data width in effect when it was read (color indexing reduces the
@@ -611,10 +624,13 @@ def decode_vp8l(data: bytes) -> np.ndarray:
 def decode_webp(b: bytes) -> np.ndarray:
     """RIFF container walk -> decode the VP8L chunk (lossless WebP).
 
-    A container with no VP8L chunk (lossy VP8, animation) raises
-    LookupError — callers keep those as header-dims-only rows;
-    structural damage in a present VP8L bitstream raises ValueError
-    (tagged 'corrupt' by decode_media)."""
+    A container with no VP8L chunk (lossy VP8, animation) — or a VP8L
+    image beyond the per-row decode budget — raises LookupError;
+    structural damage in a present VP8L bitstream raises ValueError.
+    Callers (decode_media, imageqc._decode_image) treat BOTH the same
+    way: the container is still recognized, so the row keeps the
+    'webp' tag and header dimensions with null pixel stats instead of
+    degrading to a bare 'corrupt'."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP RIFF container")
     pos = 12

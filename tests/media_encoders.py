@@ -353,9 +353,10 @@ def encode_tiff(
     if planar_config is not None:
         entry(284, 3, 1, [planar_config])
     if palette is not None:
-        cm = np.zeros((3, 256), dtype=np.int64)
+        ncolors = 1 << bitdepth  # ColorMap is 3 * 2^bps (TIFF 6.0)
+        cm = np.zeros((3, ncolors), dtype=np.int64)
         cm[:, : len(palette)] = palette.T.astype(np.int64) * 257
-        entry(320, 3, 3 * 256, [int(v) for v in cm.ravel()])
+        entry(320, 3, 3 * ncolors, [int(v) for v in cm.ravel()])
     entries.sort(key=lambda e: e[0])
 
     TYPE_SIZE = {3: 2, 4: 4}

@@ -116,6 +116,37 @@ def test_lossy_container_raises_lookup():
         decode_webp(lossy)
 
 
+def test_huge_declared_dims_degrade_before_allocating():
+    """A tiny payload legally declaring 16384x16384 (the 14-bit max)
+    must NOT reach the O(w*h) allocation/decode loop: the per-row
+    budget guard raises LookupError (same degradation as lossy VP8 —
+    recognized 'webp' row, header dims, null pixel stats)."""
+    # sig 0x2F, then LSB-first: w-1=0x3FFF (14 bits), h-1=0x3FFF (14),
+    # alpha (1), version 000 -> 28 one-bits then 0000
+    hdr = bytes([0x2F, 0xFF, 0xFF, 0xFF, 0x0F])
+    with pytest.raises(LookupError):
+        decode_vp8l(hdr + b"\x00" * 8)
+    riff = b"WEBP" + b"VP8L" + (len(hdr) + 8).to_bytes(4, "little") + hdr + b"\x00" * 8
+    blob = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+    with pytest.raises(LookupError):
+        decode_webp(blob)
+    from cleanvision_spark.operators.imageqc import _decode_image
+
+    fmt, img = _decode_image(blob)
+    assert fmt == "webp" and img is None
+    # a 2048x2048 (exactly the budget) still passes the guard: the
+    # budget check itself must not reject in-bounds dims
+    from cleanvision_spark.operators.vp8l import decode_vp8l as _d
+
+    hdr_ok = bytearray([0x2F])
+    bits = (2047) | (2047 << 14) | (0 << 28)  # w-1, h-1, alpha
+    hdr_ok += int(bits).to_bytes(4, "little")
+    try:
+        _d(bytes(hdr_ok))  # truncated stream: ValueError, NOT LookupError
+    except ValueError:
+        pass
+
+
 def test_corrupt_streams_raise_valueerror():
     img = _rand(8, 8, seed=91)
     payload = encode_vp8l(img)
