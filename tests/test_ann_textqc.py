@@ -152,6 +152,24 @@ def test_pq_codes_only_index_matches_full(emb, spark, tmp_path):
     assert got_all == exact
 
 
+def test_pq_search_plan_has_no_python(emb, spark, tmp_path):
+    """Serving-path plan lock: searching a STORED codes index runs zero
+    Python — the encode UDF is paid at index-build time only; ADC is a
+    codegen'd lookup-table fold and the rerank reads vectors from the
+    source table via the broadcast shortlist."""
+    from cleanvision_spark.operators.ann import pq_fit, pq_index, pq_topk
+
+    cb = pq_fit(emb, m=8, ks=16, sample=512)
+    path = str(tmp_path / "pq_codes")
+    pq_index(emb, cb).select("vec_id", "code").write.parquet(path)
+    codes = spark.read.parquet(path)
+    df = pq_topk(codes, cb, _qvec(emb), 10, vec_df=emb)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
 def test_pq_deterministic(emb):
     """Codebooks, codes, and results are identical across fits (seeded
     sample + seeded k-means); dim must divide by m."""
