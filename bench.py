@@ -235,6 +235,25 @@ def run_queries(spark) -> tuple[dict[str, float], int]:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # PQ serving path: codes-only stored index (fit+encode untimed —
+    # amortized at scale), ADC scan reads (id, code) only, exact rerank
+    # via broadcast shortlist against the source vectors
+    from cleanvision_spark.operators.ann import pq_fit, pq_index, pq_topk
+
+    pq_dir = tempfile.mkdtemp(prefix="pq_idx_")
+    try:
+        cb = pq_fit(emb, m=16, ks=16, sample=512)
+        pq_index(emb, cb).select("vec_id", "code").write.mode("overwrite").parquet(
+            pq_dir
+        )
+        codes = spark.read.parquet(pq_dir)
+        t(
+            "ann_pq_indexed",
+            lambda: len(pq_topk(codes, cb, qvec, 10, vec_df=emb).collect()),
+        )
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
+
     import __spark_entry__ as entrymod
 
     # multimodal path: synthesize image payloads from the docs (pure
