@@ -93,6 +93,7 @@ EXPECTED_FILES = {
     "ann_lsh_topk": "ann_lsh_indexed_topk",
     "ann_ivf_topk": "ann_ivf_indexed_topk",
     "ann_pq_topk": "ann_pq_topk",
+    "ann_ivfpq_topk": "ann_ivfpq_topk",
 }
 EXPECTED_QUERIES = list(EXPECTED_FILES)
 
@@ -1052,6 +1053,23 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, centroids, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+def _q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ (the FAISS IVFPQ shape): nprobe coarse cells scanned as
+    (cluster, id, code) only — partition-pruned when stored
+    partitionBy(cluster) — ADC = per-cluster bias + residual lookup
+    fold, exact cosine rerank of the broadcast shortlist. Config is the
+    recall-floor-tested one (>=0.8 worst-case, tests/test_ann_textqc)."""
+    from cleanvision_spark.operators.ann import ivfpq_fit, ivfpq_index, ivfpq_topk
+
+    _prepare(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cc, cb = ivfpq_fit(emb, kc=16, m=16, ks=16, sample=512)
+    return ivfpq_topk(
+        ivfpq_index(emb, cc, cb), cc, cb, _query_vec(spark, sf_dir),
+        k=10, nprobe=8, rerank=8,
+    )
+
+
 def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: ADC scoring over (id, code) only —
     pure JVM lookup-table fold, no vector reads in the scan — then an
@@ -1523,6 +1541,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "embedding_norms": _q_embedding_norms,
         "exact_dup_normalized_hash": _q_exact_dup_normalized_hash,
         "text_properties": _q_text_properties,

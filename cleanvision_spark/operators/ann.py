@@ -429,3 +429,154 @@ def pq_topk(
     src = vec_df if vec_df is not None else index_df
     cand = src.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# --- IVF+PQ -----------------------------------------------------------------
+# The canonical trillion-scale serving index (FAISS IVFPQ shape): a
+# coarse quantizer partitions the table so queries scan only nprobe
+# cells (written partitionBy(cluster) -> partition-pruned), and within
+# a cell each vector is its PQ-coded RESIDUAL from the cell centroid.
+# For a normalized query q and v = c + r:  q.v = q.c + q.r — so ADC is
+# ONE lookup table for the residual part plus a per-cluster scalar
+# bias, both query-time literals; the scan touches (cluster, id, code)
+# only. Jegou et al. 2011, §IV.
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    kc: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 1024,
+    iters: int = 10,
+    seed: int = ANN_SEED,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids (kc, dim), codebooks (m, ks, dim/m)) — coarse k-means
+    on the L2-normalized hash-slice sample, then per-subspace k-means on
+    the RESIDUALS from each sample vector's nearest centroid. One rng
+    drives both stages sequentially (deterministic)."""
+    mat = _normalize_rows(_hash_slice_sample(df, vec_col, id_col, sample))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    centroids = _kmeans(mat, kc, iters, rng)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - centroids[d.argmin(axis=1)]
+    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        cent = _kmeans(resid[:, j * dsub : (j + 1) * dsub], ks, iters, rng)
+        codebooks[j, : len(cent)] = cent
+    return centroids, codebooks
+
+
+def ivfpq_encode_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    """Pandas UDF: (cluster, code) struct per vector — nearest coarse
+    centroid of the normalized vector, then the residual's per-subspace
+    nearest sub-centroids."""
+    cc = centroids.copy()
+    cb = codebooks.copy()
+    m, _, dsub = cb.shape
+    out_t = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def enc(vec: pd.Series) -> pd.DataFrame:
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        if mat.ndim != 2:
+            return pd.DataFrame(
+                {"cluster": [0] * len(vec), "code": [[0] * m] * len(vec)}
+            )
+        mat = _normalize_rows(mat)
+        d = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)
+        resid = mat - cc[cl]
+        codes = np.zeros((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = resid[:, j * dsub : (j + 1) * dsub]
+            dj = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype(np.int32), "code": codes.tolist()}
+        )
+
+    return enc
+
+
+def ivfpq_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materializable IVFPQ index: source rows + (cluster, code). Write
+    it ``partitionBy("cluster")`` so probes are partition-pruned scans
+    of m-int code columns; encode cost is paid once at build."""
+    enc = ivfpq_encode_udf(centroids, codebooks)(F.col(vec_col))
+    # one struct column, then field projections: ExtractPythonUDFs
+    # collapses the identical UDF calls into ONE ArrowEvalPython stage
+    # (asserted in tests/test_ann_textqc.py)
+    return (
+        df.withColumn("_ivfpq", enc)
+        .withColumn("cluster", F.col("_ivfpq.cluster"))
+        .withColumn("code", F.col("_ivfpq.code"))
+        .drop("_ivfpq")
+    )
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_df: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k over the nprobe coarse cells nearest the query:
+    score = <q, centroid[cluster]> (a per-cluster literal bias) +
+    aggregate(zip_with(code, lut)) for the residual — pure JVM over
+    (cluster, id, code); the k*rerank shortlist is broadcast-joined
+    back to vectors and exactly reranked by cosine."""
+    q = _normalize_rows(np.array([query_vec], dtype=np.float64))[0]
+    m, _, dsub = codebooks.shape
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    lut = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    lut_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    bias = F.element_at(
+        F.array(*[F.lit(float(centroids[i] @ q)) for i in range(len(centroids))]),
+        F.col("cluster") + F.lit(1),
+    )
+    adc = bias + F.aggregate(
+        F.zip_with(
+            F.col("code"), lut_col, lambda c, row: F.element_at(row, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    shortlist = (
+        index_df.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(k * rerank)
+        .select(id_col)
+    )
+    src = vec_df if vec_df is not None else index_df
+    cand = src.select(id_col, vec_col).join(F.broadcast(shortlist), id_col)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

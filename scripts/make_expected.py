@@ -660,6 +660,75 @@ def exp_ann_pq_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
     return _topk(cands, qv, k), ANN_SCHEMA
 
 
+def exp_ann_ivfpq_topk(con) -> tuple[pd.DataFrame, pa.Schema]:
+    """ivfpq_fit/index/topk replica (kc=16, m=16, ks=16, sample=512,
+    nprobe=8, rerank=8): coarse k-means then residual sub-codebooks off
+    ONE sequential rng; ADC = per-cluster bias + sequential left-fold
+    of residual lut lookups (Spark evaluates `bias + aggregate(...)`,
+    so the fold sum completes BEFORE the bias add); shortlist among
+    probed cells only, exact-cosine rerank."""
+    kc, m, ks, sample_n, nprobe, rerank, k = 16, 16, 16, 512, 8, 8, 10
+    e = embeddings_pdf(con)
+    vecs = [(int(i), list(v)) for i, v in zip(e["vec_id"], e["embedding"])]
+    qv = [float(v) for v in dict(vecs)[0]]
+
+    def normalize(mat: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return mat / norms
+
+    def kmeans(mat, kk, rng):
+        cent = mat[rng.choice(len(mat), size=min(kk, len(mat)), replace=False)]
+        for _ in range(10):
+            d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for ci in range(len(cent)):
+                members = mat[assign == ci]
+                if len(members):
+                    cent[ci] = members.mean(axis=0)
+        return cent
+
+    order = sorted(vecs, key=lambda t: (xxhash64_long(t[0]), t[0]))[:sample_n]
+    mat = normalize(np.array([v for _, v in order], dtype=np.float64))
+    dsub = mat.shape[1] // m
+    rng = np.random.default_rng(ANN_SEED)
+    centroids = kmeans(mat, kc, rng)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - centroids[d.argmin(axis=1)]
+    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        cent = kmeans(resid[:, j * dsub : (j + 1) * dsub], ks, rng)
+        codebooks[j, : len(cent)] = cent
+    all_mat = normalize(np.array([v for _, v in vecs], dtype=np.float64))
+    dall = ((all_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    clusters = dall.argmin(axis=1)
+    residuals = all_mat - centroids[clusters]
+    codes = np.zeros((len(all_mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = residuals[:, j * dsub : (j + 1) * dsub]
+        dj = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = dj.argmin(axis=1)
+    q = normalize(np.array([qv], dtype=np.float64))[0]
+    dq = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = {int(i) for i in np.argsort(dq)[:nprobe]}
+    lut = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    biases = [float(centroids[i] @ q) for i in range(len(centroids))]
+    scored = []
+    for (vid, _), cl, code in zip(vecs, clusters, codes):
+        if int(cl) not in probes:
+            continue
+        s = 0.0  # sequential left fold first, then the bias add
+        for j in range(m):
+            s += float(lut[j][code[j]])
+        scored.append((vid, biases[int(cl)] + s))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    shortlist = {vid for vid, _ in scored[: k * rerank]}
+    cands = [(vid, vec) for vid, vec in vecs if vid in shortlist]
+    return _topk(cands, qv, k), ANN_SCHEMA
+
+
 def exp_dedup_simhash(con) -> tuple[pd.DataFrame, pa.Schema]:
     d = docs_pdf(con)
     h = {int(i): to_i64(simhash64(t)) for i, t in zip(d["doc_id"], d["text"])}
@@ -889,6 +958,7 @@ BUILDERS = {
     "corpus_build_minhash": exp_corpus_build_minhash,
     "corpus_build_media": exp_corpus_build_media,
     "ann_pq_topk": exp_ann_pq_topk,
+    "ann_ivfpq_topk": exp_ann_ivfpq_topk,
 }
 
 # extra queries whose expected output equals another query's file
