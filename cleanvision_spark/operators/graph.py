@@ -36,16 +36,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical_multi(edges: DataFrame) -> DataFrame:
+    """(a<b) edges, self-loops dropped — WITHOUT the dedup.
+
+    The star-contraction rounds are min-aggregations, so duplicate
+    input edges cannot change any round's emitted edge SET; skipping
+    the up-front distinct avoids a full shuffle of the (typically
+    all-unique) pair table — 21.6M unique keys at sf1.0 defeat
+    map-side partial aggregation entirely, making that distinct the
+    single most expensive exchange of the old plan. Dedup happens
+    where it is cheap instead: on the round outputs, whose
+    pre-distinct multiplicity is huge (every edge of a cluster emits
+    the same (node, min) row), so partial aggregation collapses them
+    map-side."""
+    a, b = F.col("_src"), F.col("_dst")
+    return edges.select(
+        F.least(a, b).alias("_src"), F.greatest(a, b).alias("_dst")
+    ).filter(F.col("_src") != F.col("_dst"))
+
+
 def _canonical(edges: DataFrame) -> DataFrame:
     """(a<b) edges, self-loops dropped, deduped."""
-    a, b = F.col("_src"), F.col("_dst")
-    return (
-        edges.select(
-            F.least(a, b).alias("_src"), F.greatest(a, b).alias("_dst")
-        )
-        .filter(F.col("_src") != F.col("_dst"))
-        .distinct()
-    )
+    return _canonical_multi(edges).distinct()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -63,11 +75,38 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """For each node u: link u and every neighbor <= u to the min of
-    that set. On canonical (a<b) input, grouping by the larger endpoint
-    b gives exactly the smaller-neighbor sets."""
-    canon = _canonical(edges)
+def _large_star_canon(canon: DataFrame) -> DataFrame:
+    """Large-star over an ALREADY-canonical (src<dst, deduped) edge set.
+
+    Same emitted edge SET as ``_large_star`` on the equivalent
+    undirected graph, at half the scanned volume and one fewer shuffle:
+    on canonical edges every dst-side neighbor of u is > u, so
+    min(N(u) + {u}) = least(u, min of u's incoming srcs) — no 2x
+    undirected union and no second full-width scan of the edge table.
+    The per-edge emit is a join of the edge table against the (one row
+    per node) min table, which AQE converts to broadcast while the node
+    table is small and leaves as a shuffle join past broadcast size.
+    Nodes with no incoming edge keep themselves via the left join's
+    coalesce."""
+    mins = canon.groupBy("_dst").agg(F.min("_src").alias("_mn"))
+    mins = mins.select(
+        F.col("_dst").alias("_u"),
+        F.least(F.col("_mn"), F.col("_dst")).alias("_m"),
+    )
+    return canon.join(mins, canon["_src"] == mins["_u"], "left").select(
+        F.col("_dst").alias("_src"),
+        F.coalesce(F.col("_m"), F.col("_src")).alias("_dst"),
+    )
+
+
+def _small_star_canon(canon: DataFrame) -> DataFrame:
+    """Small-star over an ALREADY-canonical (a<b, deduped) edge set.
+
+    ``canon`` is consumed twice (the groupBy and the join-back), so the
+    caller should hand in a materialized frame (localCheckpoint) when
+    the canonical set is expensive to recompute — otherwise the whole
+    upstream subtree (e.g. a large-star pass over 10^7 edges) is
+    physically duplicated in the plan and computed twice."""
     mins = canon.groupBy("_dst").agg(F.min("_src").alias("_m"))
     joined = canon.join(mins, "_dst")
     to_min = joined.filter(F.col("_src") != F.col("_m")).select(
@@ -77,6 +116,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.col("_dst").alias("_src"), F.col("_m").alias("_dst")
     )
     return to_min.union(hub_to_min)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: link u and every neighbor <= u to the min of
+    that set. On canonical (a<b) input, grouping by the larger endpoint
+    b gives exactly the smaller-neighbor sets."""
+    return _small_star_canon(_canonical(edges))
 
 
 def connected_components(
@@ -96,18 +142,39 @@ def connected_components(
     # replaces the plan with a LogicalRDD scan, keeping analysis O(1)
     # per round. (On a real cluster with executor churn, swap in
     # reliable .checkpoint() against the checkpoint dir — same shape.)
-    raw = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # LAZY checkpoint of the raw edge projection: the first fingerprint
+    # job materializes it ONCE, and every later consumer (the canonical
+    # set below, the node universe at the end) reads the persisted RDD.
+    # Without this the upstream edge producer — e.g. a 10^7-pair
+    # blocked-jaccard join — was computed TWICE: once for the old eager
+    # `nodes` checkpoint and once for the canonical set (measured ~28 s
+    # per extra computation at sf1.0; see OPTIMIZATION_r06.md).
+    raw = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=False)
     # node universe BEFORE canonicalization: a node whose only edge is a
-    # self-loop still gets reported (as its own singleton component)
-    nodes = (
-        raw.select(F.col("_src").alias("id"))
-        .union(raw.select(F.col("_dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # LAZY initial checkpoint: the first fingerprint aggregate
-    # materializes it — one job instead of an eager pass + fingerprint
-    cur = _canonical(raw).localCheckpoint(eager=False)
+    # self-loop still gets reported (as its own singleton component).
+    # Lazy plan over the checkpointed raw — only consumed by the final
+    # singleton anti-join, after raw is already materialized.
+    nodes = raw.select(F.col("_src").alias("id")).union(
+        raw.select(F.col("_dst").alias("id"))
+    ).distinct()
+    children = _star_contract(_canonical_multi(raw), max_iterations)
+
+    # converged edge set is a forest of stars (child, root); nodes not
+    # in any star (isolated after self-loop removal) are singletons
+    rest = nodes.join(children.select("id"), "id", "left_anti")
+    return children.unionByName(rest.withColumn("component", F.col("id")))
+
+
+def _star_contract(canon_edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Run alternating large-star/small-star to convergence over a
+    canonical-direction (src<dst, self-loop-free, possibly duplicated)
+    edge set; return the star forest as (id, component) child rows.
+    Roots and isolated nodes are NOT in the result — the callers either
+    left-join + coalesce (assign_components) or anti-join the node
+    universe back in (connected_components)."""
+    cur = canon_edges.localCheckpoint(eager=False)
 
     def _fingerprint(e: DataFrame):
         row = e.agg(
@@ -120,7 +187,6 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    prev_fp = _fingerprint(cur)
     # ONE contraction per convergence check, one driver round-trip per
     # round: the lazy checkpoint materializes inside the fingerprint
     # job. A fused two-contractions-per-check variant was measured and
@@ -130,16 +196,28 @@ def connected_components(
     # collect it saves — interleaved A/B at sf0.001 put it ~15-20%
     # slower (median 4.5 s vs 3.8 s over 6 alternated reps).
     # ``max_iterations`` is an exact bound on contractions run.
+    # NO fingerprint of the initial edge set: it would hash the full
+    # (possibly duplicated) input — a measured ~3.2 s full-scan
+    # aggregate at sf1.0 — only to detect the rare converged-at-input
+    # case, which now just costs one extra (cheap, already-contracted)
+    # round instead. Comparison starts between rounds 1 and 2.
+    prev_fp = None
     rounds_run = 0
     converged = False
     while rounds_run < max_iterations:
-        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(
-            eager=False
-        )
+        # mid-round checkpoint: small-star consumes the canonicalized
+        # large-star output twice (groupBy + join-back); without the
+        # checkpoint the whole large-star pass — the round's only scan
+        # of the full edge set — is duplicated in the physical plan and
+        # computed twice. Lazy: it materializes inside the same
+        # fingerprint job, so the driver round-trip count per round is
+        # unchanged (one).
+        mid = _canonical(_large_star_canon(cur)).localCheckpoint(eager=False)
+        nxt = _canonical(_small_star_canon(mid)).localCheckpoint(eager=False)
         rounds_run += 1
         fp = _fingerprint(nxt)
         cur = nxt
-        if fp == prev_fp:
+        if prev_fp is not None and fp == prev_fp:
             converged = True
             break
         prev_fp = fp
@@ -147,14 +225,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {rounds_run} rounds"
         )
-
-    # converged edge set is a forest of stars (child, root); nodes not
-    # in any star (isolated after self-loop removal) are singletons
-    children = cur.select(
+    return cur.select(
         F.col("_dst").alias("id"), F.col("_src").alias("component")
     ).distinct()
-    rest = nodes.join(children.select("id"), "id", "left_anti")
-    return children.unionByName(rest.withColumn("component", F.col("id")))
 
 
 def assign_components(
@@ -162,8 +235,16 @@ def assign_components(
 ) -> DataFrame:
     """Left-attach a ``component`` column to ``df``; rows absent from
     the pair graph are their own singleton component (component = own
-    id)."""
-    comp = connected_components(edges, src=src, dst=dst).withColumnRenamed(
+    id).
+
+    Goes straight to the star forest (no node-universe pass): a node
+    of ``df`` that is a component root, isolated, or absent from the
+    graph entirely has no child row and coalesces to its own id —
+    exactly the singleton component the explicit universe used to
+    compute with an extra full scan + distinct + anti-join over the
+    edge table."""
+    edges_p = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    comp = _star_contract(_canonical_multi(edges_p)).withColumnRenamed(
         "id", id_col
     )
     return df.join(comp, id_col, "left").withColumn(

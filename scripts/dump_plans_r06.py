@@ -1,0 +1,205 @@
+"""Dump .explain("formatted") for every bench-shaped query into
+plans/r06/<query>_<tag>.txt (tag = before/after).
+
+Mirrors bench.py's query construction exactly (same inputs, same
+params) so the committed plans are the plans the driver's bench runs.
+Iterative queries (dup_clusters) additionally dump the per-phase plans
+(pair generation + one contraction round) since the composed query has
+no single static plan.
+
+Usage: python scripts/dump_plans_r06.py <tag> [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+OUT = os.path.join(REPO, "plans", "r06")
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    os.makedirs(OUT, exist_ok=True)
+
+    from cleanvision_spark.session import get_spark
+
+    spark = get_spark("plans_r06", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    import __spark_entry__ as e
+
+    e._ensure_shipped(spark)
+    from pyspark.sql import functions as F
+
+    from cleanvision_spark.config import merge_params
+
+    params = merge_params(None)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS * 2)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
+    qvec = [
+        float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    from cleanvision_spark.sources.corpus import corpus_from_documents
+
+    corpus = corpus_from_documents(spark, SF_DIR).repartition(CPUS * 2)
+
+    def dump(name: str, df) -> None:
+        if only and name not in only:
+            return
+        path = os.path.join(OUT, f"{name}_{tag}.txt")
+        jvm = spark.sparkContext._jvm
+        text = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        with open(path, "w") as fh:
+            fh.write(text)
+        print("wrote", path)
+
+    from cleanvision_spark.plans.pipeline import quality_filter
+
+    dump("quality_filter_full", quality_filter(corpus, params))
+
+    from cleanvision_spark.operators.duplicates import (
+        exact_duplicate_scores,
+        near_duplicate_scores,
+    )
+
+    dump("exact_duplicates", exact_duplicate_scores(corpus))
+    dump(
+        "near_duplicates_minhash",
+        near_duplicate_scores(corpus, params["near_duplicates"]),
+    )
+
+    from cleanvision_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_normalized,
+        jaccard_pairs_blocked,
+    )
+
+    dump("dedup_normalized", dedup_normalized(docs, "doc_id"))
+    dump("dedup_minhash", dedup_minhash(docs, "doc_id"))
+
+    from cleanvision_spark.operators.textqc import (
+        quality_scores,
+        repetition_signals,
+        token_counts,
+    )
+
+    dump("token_counts", token_counts(docs, "doc_id"))
+    dump("quality_scores", quality_scores(docs, "doc_id"))
+    dump("repetition_signals", repetition_signals(docs, "doc_id"))
+
+    from cleanvision_spark.operators.decontaminate import decontaminate
+    from cleanvision_spark.operators.sampling import split_assign
+
+    dump(
+        "decontaminate",
+        decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 3), "doc_id", n=3),
+    )
+    dump(
+        "split_assign",
+        split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+
+    # dup_clusters is iterative: dump the two phases that dominate it
+    pairs = jaccard_pairs_blocked(docs, "doc_id", block_cols=["lang"], threshold=0.5)
+    dump("dup_clusters_pairs", pairs)
+    from cleanvision_spark.operators.graph import (
+        _canonical,
+        _large_star,
+        _small_star,
+    )
+
+    raw = pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+    cur = _canonical(raw).localCheckpoint(eager=True)
+    dump("dup_clusters_round", _canonical(_small_star(_large_star(cur))))
+
+    from cleanvision_spark.operators.segments import segment_dedup
+
+    dump("segment_dedup", segment_dedup(docs, "doc_id", delim=" a "))
+
+    from cleanvision_spark.operators.dsir import dsir_fit, dsir_weights
+
+    ratios = dsir_fit(docs.filter(F.col("lang") == "zh"), docs)
+    dump("dsir_weights", dsir_weights(docs, "doc_id", ratios))
+
+    from cleanvision_spark.plans.corpus_build import build_corpus
+
+    dump(
+        "corpus_build",
+        build_corpus(
+            docs,
+            min_quality=0.71,
+            dedup="normalized",
+            benchmark_df=docs.filter(F.col("doc_id") % 97 == 3),
+            decontaminate_n=3,
+            cap=("source", 200),
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+            seq_len=2048,
+            salt="cb3",
+        ),
+    )
+    from cleanvision_spark.cache import release_tracked
+
+    release_tracked()
+
+    from cleanvision_spark.operators.packing import pack_sequences
+
+    dump(
+        "pack_sequences",
+        pack_sequences(
+            docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+            "doc_id",
+            "n_tokens",
+            2048,
+        ),
+    )
+
+    from cleanvision_spark.operators.ann import brute_force_topk, lsh_topk
+
+    dump("ann_brute_topk", brute_force_topk(emb, qvec, 10))
+    dump("ann_lsh_topk", lsh_topk(emb, qvec, 10))
+
+    from cleanvision_spark.operators.imageqc import image_issues
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(
+            F.concat(F.lit("P5\n32 32\n255\n"), F.rpad(F.col("text"), 1024, "x")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    dump(
+        "image_issues_decode_score",
+        image_issues(media).filter(F.col("format") == "netpbm"),
+    )
+    release_tracked()
+
+    from cleanvision_spark.plans.corpus_build import build_media_corpus
+
+    is_media = F.col("doc_id") % 2 == 1
+    mixed = docs.join(
+        media.select(F.col("media_id").alias("doc_id"), "payload"), "doc_id"
+    ).select(
+        "doc_id",
+        F.when(~is_media, F.col("text")).alias("text"),
+        F.when(is_media, F.col("payload")).alias("payload"),
+    )
+    dump(
+        "corpus_build_media",
+        build_media_corpus(mixed, splits={"train": 0.9, "val": 0.1}, salt="bm"),
+    )
+    release_tracked()
+
+    dump("tpch_q1", e.queries()["tpch_q1"](spark, SF_DIR))
+    dump("event_sessions", e.queries()["event_sessions"](spark, SF_DIR))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Round-6 optimization equivalence pins.
+
+Each optimization that changed an operator's internals gets an A/B
+test proving the fast path computes the SAME result as the reference
+formulation it replaced:
+
+- ``_large_star_canon`` (no undirected union) vs the textbook
+  ``_large_star`` on the same canonical edge set;
+- the 64-bit small-vocabulary jaccard bitmask vs the string word-array
+  path (forced via monkeypatch);
+- duplicated / unsorted edge input through the no-initial-distinct
+  contraction (``_canonical_multi``) vs an independent union-find.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cleanvision_spark.operators import dedup as dedup_mod
+from cleanvision_spark.operators.graph import (
+    _canonical,
+    _large_star,
+    _large_star_canon,
+    assign_components,
+)
+
+
+def _random_edges(seed: int, n_nodes: int = 200, n_edges: int = 400):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+
+
+def test_large_star_canon_matches_reference(spark):
+    for seed in (1, 2, 3):
+        df = spark.createDataFrame(
+            _random_edges(seed), "_src long, _dst long"
+        ).repartition(5)
+        canon = _canonical(df)
+        ref = set(
+            (r["_src"], r["_dst"]) for r in _large_star(canon).distinct().collect()
+        )
+        fast = set(
+            (r["_src"], r["_dst"])
+            for r in _large_star_canon(canon).distinct().collect()
+        )
+        assert fast == ref
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    # duplicate edges + both orientations: the no-initial-distinct
+    # contraction must still produce exact components
+    edges = [(1, 2), (2, 1), (2, 3), (2, 3), (3, 2), (10, 10), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 9, 10)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in assign_components(ids, "doc_id", df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9, 10: 10}
+
+
+def test_jaccard_bitmask_matches_string_path(spark, monkeypatch):
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]  # <= 64 distinct words: mask fires
+    rows = [
+        (i, "en" if i % 2 else "de", " ".join(rng.choices(vocab, k=rng.randrange(1, 30))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def run():
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup_mod.jaccard_pairs_blocked(
+                df, "doc_id", block_cols=["lang"], threshold=0.3
+            ).collect()
+        )
+
+    fast = run()
+    assert len(fast) > 0
+    monkeypatch.setattr(dedup_mod, "_vocab_bitmask", lambda df, words: None)
+    slow = run()
+    assert fast == slow
+
+    # LSH-blocked default path: same equivalence
+    def run_lsh():
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup_mod.jaccard_pairs_blocked(
+                df, "doc_id", threshold=0.3
+            ).collect()
+        )
+
+    monkeypatch.undo()
+    fast_lsh = run_lsh()
+    monkeypatch.setattr(dedup_mod, "_vocab_bitmask", lambda df, words: None)
+    slow_lsh = run_lsh()
+    assert fast_lsh == slow_lsh
