@@ -61,20 +61,24 @@ def _gram_rows(
         F.length(lowered) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(lowered, WS_RUN_RE))
     wdf = df.select(*keep, words.alias("_w"))
-    parts = []
+    # ONE scan + ONE explode for all n: each n's gram array is a column
+    # on the same row, concatenated and exploded together. The old
+    # union-of-explodes shape scanned (and re-split) the corpus once
+    # per n — measured ~2x the volume for the default (1,2) at sf1.0.
+    # Same multiset of (keep..., gram) rows, so counts and per-doc sums
+    # are unchanged.
+    arrays = []
     for n in ns:
         if n == 1:
-            parts.append(wdf.select(*keep, F.explode("_w").alias("_gram")))
+            arrays.append(F.col("_w"))
         else:
             from pyspark.ml.feature import NGram
 
-            ng = NGram(n=n, inputCol="_w", outputCol="_g")
-            parts.append(
-                ng.transform(wdf).select(*keep, F.explode("_g").alias("_gram"))
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+            col = f"_g{n}"
+            wdf = NGram(n=n, inputCol="_w", outputCol=col).transform(wdf)
+            arrays.append(F.col(col))
+    combined = arrays[0] if len(arrays) == 1 else F.concat(*arrays)
+    out = wdf.select(*keep, F.explode(combined).alias("_gram"))
     return out.select(*keep, gram_bucket(F.col("_gram"), salt).alias("bucket"))
 
 

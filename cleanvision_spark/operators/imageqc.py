@@ -463,41 +463,62 @@ def image_issues(df: DataFrame, params: dict | None = None) -> DataFrame:
 _DCT_SCALE = 1 << 10  # basis quantization; |entries| <= 2^11
 
 
+_DCT_MATRICES: dict[int, np.ndarray] = {}
+
+
 def _dct_matrix_int(n: int) -> np.ndarray:
     """Quantized unnormalized DCT-II matrix (scipy.fftpack.dct formula
     M[k,i] = 2*cos(pi*k*(2i+1)/(2n)), scaled by _DCT_SCALE and rounded
-    to int64). Max |value| after a 32x32 2D transform stays < 2^46."""
-    k = np.arange(n)[:, None]
-    i = np.arange(n)[None, :]
-    return np.round(
-        _DCT_SCALE * 2.0 * np.cos(np.pi * k * (2 * i + 1) / (2 * n))
-    ).astype(np.int64)
+    to int64). Max |value| after a 32x32 2D transform stays < 2^46.
+    Memoized per n — it is a pure constant, and rebuilding it cost
+    ~27us of every phash call."""
+    if n not in _DCT_MATRICES:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        _DCT_MATRICES[n] = np.round(
+            _DCT_SCALE * 2.0 * np.cos(np.pi * k * (2 * i + 1) / (2 * n))
+        ).astype(np.int64)
+    return _DCT_MATRICES[n]
 
 
 def _pack_bits(bits: np.ndarray) -> int:
-    """Row-major boolean array -> signed 64-bit int (Spark LongType)."""
-    v = 0
-    for b in bits.ravel():
-        v = (v << 1) | int(b)
+    """Row-major boolean array -> signed 64-bit int (Spark LongType).
+    np.packbits emits the same big-endian bit order the old per-bit
+    shift loop produced."""
+    v = int.from_bytes(
+        np.packbits(bits.ravel().astype(np.uint8), bitorder="big").tobytes(),
+        "big",
+    )
+    # packbits zero-pads the last byte's LOW bits; shift them back off
+    # so a non-multiple-of-8 bit count still matches the old shift loop
+    v >>= (-bits.size) % 8
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _resize_gray_q(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """(h, w) int64 block means quantized to 1/64 gray level:
     (64 * block_sum) // block_count — pure integer arithmetic, so the
-    result is identical on any hardware/numpy/BLAS configuration."""
+    result is identical on any hardware/numpy/BLAS configuration.
+
+    Block sums come from a 2D integral image (exact int64 cumsum)
+    instead of the old per-output-cell python loop — the loop's 1024
+    tiny .sum() calls were ~2ms per 32x32 phash resize, >95% of the
+    whole hash (OPTIMIZATION_r06.md); identical values by construction.
+    """
     gray = _to_gray(_strip_alpha(img)[0]).astype(np.int64)
     gh, gw = gray.shape
     ys = (np.arange(h + 1) * gh) // h  # integer grid: no float truncation
     xs = (np.arange(w + 1) * gw) // w
-    out = np.empty((h, w), dtype=np.int64)
-    for yi in range(h):
-        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
-        for xi in range(w):
-            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
-            block = gray[y0:y1, x0:x1]
-            out[yi, xi] = (64 * int(block.sum())) // block.size
-    return out
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    # integral image with zero row/col: S[i, j] = sum(gray[:i, :j])
+    s = np.zeros((gh + 1, gw + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=s[1:, 1:])
+    sums = (
+        s[np.ix_(y1, x1)] - s[np.ix_(y0, x1)] - s[np.ix_(y1, x0)] + s[np.ix_(y0, x0)]
+    )
+    counts = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (64 * sums) // counts
 
 
 def phash64(img: np.ndarray, hash_size: int = 8, highfreq_factor: int = 4) -> int:
