@@ -356,9 +356,17 @@ def pq_encode_udf(codebooks: np.ndarray):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def enc(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
         mat = np.array(vec.tolist(), dtype=np.float64)
         if mat.ndim != 2:
-            return pd.Series([[0] * m] * len(vec))
+            # ragged/malformed embeddings: fail loudly — a silent
+            # zero-code fallback would make a row's code depend on its
+            # Arrow-batch neighbors (partition-dependent results)
+            raise ValueError(
+                "pq encode: embeddings are ragged or non-numeric "
+                f"(batch shape {mat.shape})"
+            )
         mat = _normalize_rows(mat)
         codes = np.zeros((len(mat), m), dtype=np.int32)
         for j in range(m):
@@ -489,10 +497,17 @@ def ivfpq_encode_udf(centroids: np.ndarray, codebooks: np.ndarray):
 
     @F.pandas_udf(out_t)
     def enc(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame({"cluster": [], "code": []})
         mat = np.array(vec.tolist(), dtype=np.float64)
         if mat.ndim != 2:
-            return pd.DataFrame(
-                {"cluster": [0] * len(vec), "code": [[0] * m] * len(vec)}
+            # ragged/malformed embeddings: fail loudly — a silent
+            # cluster-0/zero-code fallback would make a row's cell
+            # assignment depend on its Arrow-batch neighbors
+            # (partition-dependent results)
+            raise ValueError(
+                "ivfpq encode: embeddings are ragged or non-numeric "
+                f"(batch shape {mat.shape})"
             )
         mat = _normalize_rows(mat)
         d = ((mat[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)

@@ -492,3 +492,17 @@ def test_decontaminate_hand_computed(spark):
     # its distinct shared grams with bench: {"quick brown fox"} -> 1
     assert out[4]["n_contaminated"] == 1 and out[4]["is_contaminated"]
     assert len(out) == 4
+
+
+def test_ivfpq_index_build_single_python_stage(emb):
+    """Index-BUILD plan lock: the ivfpq struct-UDF collapse means the
+    encode UDF appears as exactly ONE ArrowEvalPython stage even though
+    cluster and code are projected as two separate fields (backs the
+    ExtractPythonUDFs-dedup comment in operators/ann.py)."""
+    from cleanvision_spark.operators.ann import ivfpq_fit, ivfpq_index
+
+    cents, cbs = ivfpq_fit(emb, kc=8, m=8, ks=16, sample=256)
+    df = ivfpq_index(emb, cents, cbs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

@@ -141,10 +141,8 @@ def test_huge_declared_dims_degrade_before_allocating():
     hdr_ok = bytearray([0x2F])
     bits = (2047) | (2047 << 14) | (0 << 28)  # w-1, h-1, alpha
     hdr_ok += int(bits).to_bytes(4, "little")
-    try:
+    with pytest.raises(ValueError):
         _d(bytes(hdr_ok))  # truncated stream: ValueError, NOT LookupError
-    except ValueError:
-        pass
 
 
 def test_corrupt_streams_raise_valueerror():
