@@ -35,6 +35,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime-sized SMJ -> shuffled-hash rewrite (off by default):
+        # when EVERY post-shuffle partition of a join's build side is
+        # measured < 16 MB at runtime, skip the sort of the big side.
+        # Scale-safe by construction — a build side that grows with the
+        # data blows the per-partition bound and stays sort-merge; the
+        # static preferSortMergeJoin=false variant was measured to
+        # regress the near-dup bucket join 2.6 s -> 7.7 s and is NOT
+        # used (OPTIMIZATION_r06.md). Biggest beneficiary: the
+        # connected-components rounds' edge x node-min joins
+        # (SMJ 4.8 s -> SHJ 3.3 s on the 21.6M-edge round-1 pass).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "16777216",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

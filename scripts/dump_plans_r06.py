@@ -105,18 +105,21 @@ def main() -> None:
         split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
     )
 
-    # dup_clusters is iterative: dump the two phases that dominate it
+    # dup_clusters is iterative: dump the two phases that dominate it.
+    # (tag "before" used the old round shape — one fused
+    # _canonical(_small_star(_large_star(cur))) plan; the current shape
+    # checkpoints the canonical large-star output mid-round, so the
+    # round is two plans: the large half and the small half.)
     pairs = jaccard_pairs_blocked(docs, "doc_id", block_cols=["lang"], threshold=0.5)
     dump("dup_clusters_pairs", pairs)
-    from cleanvision_spark.operators.graph import (
-        _canonical,
-        _large_star,
-        _small_star,
-    )
+    from cleanvision_spark.operators import graph as _g
 
     raw = pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
-    cur = _canonical(raw).localCheckpoint(eager=True)
-    dump("dup_clusters_round", _canonical(_small_star(_large_star(cur))))
+    cur = _g._canonical_multi(raw).localCheckpoint(eager=True)
+    mid_plan = _g._canonical(_g._large_star_canon(cur))
+    dump("dup_clusters_round_large", mid_plan)
+    mid = mid_plan.localCheckpoint(eager=True)
+    dump("dup_clusters_round_small", _g._canonical(_g._small_star_canon(mid)))
 
     from cleanvision_spark.operators.segments import segment_dedup
 
