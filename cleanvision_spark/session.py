@@ -49,6 +49,26 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "16777216",
         )
+        # AQE shuffle sizing (guide §2.2): start every shuffle at 8x the
+        # base partition count and let coalescing merge back to the
+        # advisory size. With a FIXED shuffle_partitions, coalescing can
+        # only merge — a growing shuffle can never get MORE partitions,
+        # so per-task state balloons with data (measured: the 86M-edge
+        # CC round superlinear at 2x scale). A higher initial count
+        # shrinks post-shuffle partitions, which also lets more joins
+        # qualify for the 16 MB SHJ rewrite above. Interleaved same-
+        # session A/B over the full bench query set at sf0.1:
+        # sum-of-queries 19.7 s -> 15.2 s, no query regressed by more
+        # than 40 ms; 2x-scale CC probe 92 s -> 71 s
+        # (OPTIMIZATION_r06.md). Parameterised: scales with the
+        # caller's shuffle_partitions (cluster overrides), env override
+        # for experiments.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTS", str(shuffle_partitions * 8)
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -102,3 +102,19 @@ def test_jaccard_bitmask_matches_string_path(spark, monkeypatch):
     monkeypatch.setattr(dedup_mod, "_vocab_bitmask", lambda df, words: None)
     slow_lsh = run_lsh()
     assert fast_lsh == slow_lsh
+
+
+def test_session_sets_adaptive_initial_partition_num(spark):
+    """The session factory must seed AQE's initialPartitionNum at 8x
+    the base shuffle partitions (guide §2.2: high initial fan-out,
+    coalesce back by advisory size). With a FIXED count, coalescing can
+    only merge — a growing shuffle can never get more partitions, which
+    was the measured cause of the 2x-scale CC superlinearity
+    (OPTIMIZATION_r06.md)."""
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    init = int(
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
+    )
+    assert init == base * 8
